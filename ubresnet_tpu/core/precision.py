@@ -1,0 +1,55 @@
+"""Mixed-precision policy for TPU execution.
+
+The reference stack runs everything in float32 on CUDA (PyTorch 0.4,
+cudnn.benchmark at train_ubresnet2018_wlarcv2.py:160). On TPU the MXU's
+native input type is bfloat16; we keep parameters and batch-norm
+statistics in float32 and run conv/matmul compute in bfloat16 by
+default. Parity tests against the reference use the full-float32
+policy.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Policy:
+    """Precision policy threaded through every module.
+
+    param_dtype:   dtype parameters are stored in.
+    compute_dtype: dtype convolutions / matmuls execute in (MXU input).
+    output_dtype:  dtype of the network head output (kept float32 so the
+                   log-softmax + loss are numerically stable).
+    """
+
+    param_dtype: Any = jnp.float32
+    compute_dtype: Any = jnp.bfloat16
+    output_dtype: Any = jnp.float32
+
+    @staticmethod
+    def tpu() -> "Policy":
+        return Policy()
+
+    @staticmethod
+    def f32() -> "Policy":
+        """Full float32 — used for numerical parity vs the reference."""
+        return Policy(compute_dtype=jnp.float32)
+
+    @staticmethod
+    def bf16() -> "Policy":
+        return Policy(compute_dtype=jnp.bfloat16)
+
+
+def cast_floating(tree, dtype):
+    """Cast all floating-point leaves of a pytree to `dtype`."""
+    import jax
+
+    def _cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(_cast, tree)

@@ -1,0 +1,271 @@
+"""Building blocks for the U-ResNet family, NHWC, TPU-first.
+
+Semantics match the reference blocks (so imported reference checkpoints
+reproduce outputs bit-for-bit in eval mode) but the implementation is
+idiomatic JAX/flax:
+
+  * NHWC layout — the fast conv layout on TPU (reference is NCHW torch,
+    /root/reference/models/common_layers.py:13-58).
+  * BatchNorm keeps float32 stats; conv compute in the policy dtype so
+    the MXU runs bfloat16.
+  * The transposed conv is expressed directly as an input-dilated
+    ``lax.conv_general_dilated`` with torch-equivalent kernel flipping,
+    and resolves the reference's dynamic
+    ``ConvTranspose2d(output_size=skip.size())``
+    (common_layers.py:122-132) into *static* per-axis padding derived
+    from the skip shape at trace time — XLA needs static shapes.
+
+Reference parity notes:
+  * BasicBlock applies ReLU on the residual branch *before* the add and
+    again after it (common_layers.py:39-58) — unusual, preserved.
+  * PyTorch 0.4 BatchNorm2d defaults: eps=1e-5, momentum=0.1 where
+    ``running = (1-m)*running + m*batch``; flax momentum is the decay of
+    the running average, so flax momentum=0.9 is equivalent.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ubresnet_tpu.core.precision import Policy
+
+BN_MOMENTUM = 0.9  # flax decay == 1 - torch momentum(0.1)
+BN_EPS = 1e-5
+
+
+def msra_normal():
+    """Reference init: normal(0, sqrt(2/n)), n = kh*kw*out_channels
+    (ub_uresnet.py:72-79). Kernel layout here is HWIO."""
+
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, _, cout = shape
+        n = kh * kw * cout
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(
+            math.sqrt(2.0 / n), dtype
+        )
+
+    return init
+
+
+class ConvBN(nn.Module):
+    """Conv → BatchNorm, optional ReLU — the universal reference motif."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = False
+    act: bool = True
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(self.dilation * (self.kernel // 2),) * 2] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            kernel_init=msra_normal(),
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+            name="bn",
+        )(x)
+        if self.act:
+            x = nn.relu(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 conv-BN-ReLU + projection bypass.
+
+    Matches /root/reference/models/common_layers.py:18-58 including the
+    pre-add ReLU on the residual branch. The 1x1 projection (+BN) is
+    instantiated only when channels or stride change.
+    """
+
+    features: int
+    stride: int = 1
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        inp = x.shape[-1]
+        y = ConvBN(self.features, 3, self.stride, policy=self.policy, name="cb1")(
+            x, train=train
+        )
+        y = ConvBN(self.features, 3, 1, policy=self.policy, name="cb2")(y, train=train)
+        if inp != self.features or self.stride > 1:
+            x = ConvBN(
+                self.features,
+                1,
+                self.stride,
+                act=False,
+                policy=self.policy,
+                name="bypass",
+            )(x, train=train)
+        return nn.relu(y + x)
+
+
+class DoubleResNet(nn.Module):
+    """Two stacked BasicBlocks (common_layers.py:109-120)."""
+
+    features: int
+    stride: int = 1
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = BasicBlock(self.features, self.stride, policy=self.policy, name="res1")(
+            x, train=train
+        )
+        x = BasicBlock(self.features, 1, policy=self.policy, name="res2")(
+            x, train=train
+        )
+        return x
+
+
+class Deconv2x(nn.Module):
+    """Torch-equivalent ConvTranspose2d(k=4, s=2, p=1, bias=False).
+
+    Implemented as an input-dilated convolution: dilate the input by the
+    stride, convolve with the spatially-flipped kernel. Per-axis padding
+    is derived statically from ``target_hw`` so any output size torch
+    could reach via ``output_size=skip.size()`` (common_layers.py:128)
+    compiles to a fixed-shape XLA op.
+
+    Kernel param layout is (kh, kw, cin, cout) — a torch ConvTranspose2d
+    weight (cin, cout, kh, kw) imports via transpose(2, 3, 0, 1).
+    """
+
+    features: int
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x, target_hw: Optional[Tuple[int, int]] = None):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", msra_normal(), (4, 4, cin, self.features), self.policy.param_dtype
+        )
+        h, w = x.shape[1], x.shape[2]
+        th, tw = target_hw if target_hw is not None else (2 * h, 2 * w)
+        # dilated length L = 2*d - 1; out = L + plo + phi - 4 + 1.
+        # torch effective padding is k-1-p = 2 per side; deviations from
+        # out == 2*in are absorbed in the high-side pad (torch
+        # output_padding semantics).
+        pads = []
+        for d, t in ((h, th), (w, tw)):
+            phi = t - (2 * d - 1) + 4 - 1 - 2
+            if not (0 <= phi <= 3):
+                raise ValueError(
+                    f"deconv target size {t} unreachable from input {d} "
+                    f"(torch output_padding would be {phi - 2})"
+                )
+            pads.append((2, phi))
+        k = jnp.flip(kernel, (0, 1)).astype(self.policy.compute_dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.policy.compute_dtype),
+            k,
+            window_strides=(1, 1),
+            padding=pads,
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+class DecoderBlock(nn.Module):
+    """Deconv ×2 upsample → concat skip → DoubleResNet.
+
+    Reference: ConvTransposeLayer (common_layers.py:122-132). Skips are
+    concatenated on the channel axis (last axis in NHWC).
+    """
+
+    deconv_features: int
+    res_features: int
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x, skip, *, train: bool):
+        up = Deconv2x(self.deconv_features, policy=self.policy, name="deconv")(
+            x, target_hw=(skip.shape[1], skip.shape[2])
+        )
+        y = jnp.concatenate([up, skip.astype(up.dtype)], axis=-1)
+        return DoubleResNet(self.res_features, 1, policy=self.policy, name="res")(
+            y, train=train
+        )
+
+
+class ASPP(nn.Module):
+    """Atrous Spatial Pyramid Pooling (ASPP_ResNet.py:188-263).
+
+    Four conv-BN-ReLU branches (1x1 d1, 3x3 d1, 3x3 d3, 3x3 d5 — each
+    ``branch_features`` wide, biased convs) plus a 3x3 stride-1 maxpool
+    branch that passes the input channels through; concatenated on the
+    channel axis. All branches read the same input: XLA fuses the
+    elementwise tails and the branches execute as independent MXU convs.
+    """
+
+    branch_features: int = 16
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        outs = []
+        for name, kernel, dil in (
+            ("b1", 1, 1),
+            ("b2", 3, 1),
+            ("b3", 3, 3),
+            ("b4", 3, 5),
+        ):
+            outs.append(
+                ConvBN(
+                    self.branch_features,
+                    kernel,
+                    1,
+                    dilation=dil,
+                    use_bias=True,
+                    policy=self.policy,
+                    name=name,
+                )(x, train=train)
+            )
+        # 3x3 stride-1 maxpool branch, channels preserved.
+        pooled = nn.max_pool(
+            x, window_shape=(3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)]
+        )
+        outs.append(pooled.astype(outs[0].dtype))
+        return jnp.concatenate(outs, axis=-1)
+
+
+class ASPPCombine(nn.Module):
+    """1x1 conv-BN-ReLU recompression after ASPP (ASPP_ResNet.py:266-286)."""
+
+    features: int
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        return ConvBN(
+            self.features, 1, 1, use_bias=True, policy=self.policy, name="post"
+        )(x, train=train)
+
+
+def stem_pool(x):
+    """3x3 stride-2 maxpool with pad 1 (torch MaxPool2d(3, 2, 1)).
+
+    Torch pads with -inf conceptually (ignores padding in the max);
+    ``nn.max_pool`` with explicit padding uses -inf identity, matching.
+    """
+    return nn.max_pool(x, window_shape=(3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

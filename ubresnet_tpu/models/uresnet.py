@@ -1,0 +1,105 @@
+"""U-ResNet — the flagship MicroBooNE SSNet model, TPU-native.
+
+Capability-parity rebuild of /root/reference/models/ub_uresnet.py:29-147
+(U-Net with ResNet BasicBlocks):
+
+  stem:    7x7 conv(bias) → BN → ReLU → 3x3 maxpool s2
+  encoder: 5 × DoubleResNet, channels ×2 per stage, strides 1,2,2,2,2
+           (inplanes → 32·inplanes)
+  decoder: 5 × (deconv k4 s2 → concat skip → DoubleResNet)
+  head:    7x7 conv → BN → ReLU → 7x7 conv → log-softmax over classes
+
+Differences from the reference implementation (not behavior):
+NHWC layout, bfloat16 MXU compute with float32 params/stats, static
+deconv padding in place of torch's dynamic ``output_size``, and a
+``logits`` escape hatch so the fused loss kernel can consume raw logits
+(the reference always materialises LogSoftmax, ub_uresnet.py:70,143).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ubresnet_tpu.core.precision import Policy
+from ubresnet_tpu.models.blocks import ConvBN, DecoderBlock, DoubleResNet, stem_pool
+
+
+@dataclasses.dataclass(frozen=True)
+class UResNetConfig:
+    num_classes: int = 3
+    input_channels: int = 1
+    inplanes: int = 16
+    final_conv_kernels: int = 16
+    depth: int = 5  # encoder/decoder stages
+
+
+class UResNet(nn.Module):
+    """NHWC U-ResNet. Input (b, h, w, c); output (b, h, w, num_classes)."""
+
+    config: UResNetConfig = UResNetConfig()
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, logits: bool = False):
+        cfg = self.config
+        pol = self.policy
+
+        # Stem (ub_uresnet.py:41-44): 7x7 biased conv + BN + ReLU, then pool.
+        x0 = ConvBN(
+            cfg.inplanes, 7, 1, use_bias=True, policy=pol, name="stem"
+        )(x.astype(pol.compute_dtype), train=train)
+        y = stem_pool(x0)
+
+        # Encoder: stage i has inplanes * 2^i channels; stride 1 then 2s.
+        skips = [x0]
+        for i in range(cfg.depth):
+            feats = cfg.inplanes * (2 ** (i + 1))
+            stride = 1 if i == 0 else 2
+            y = DoubleResNet(feats, stride, policy=pol, name=f"enc{i + 1}")(
+                y, train=train
+            )
+            skips.append(y)
+
+        # Decoder: mirror stages; deconv halves channels, concat skip,
+        # DoubleResNet back to the skip's width (ub_uresnet.py:52-56).
+        for i in range(cfg.depth, 0, -1):
+            feats = cfg.inplanes * (2 ** (i - 1))
+            y = DecoderBlock(feats, feats, policy=pol, name=f"dec{i}")(
+                y, skips[i - 1], train=train
+            )
+
+        # Head (ub_uresnet.py:58-66): conv10+BN+ReLU, conv11, log-softmax.
+        y = ConvBN(
+            cfg.final_conv_kernels, 7, 1, use_bias=True, policy=pol, name="head"
+        )(y, train=train)
+        y = nn.Conv(
+            cfg.num_classes,
+            (7, 7),
+            padding=[(3, 3), (3, 3)],
+            use_bias=True,
+            kernel_init=_head_init(),
+            dtype=pol.compute_dtype,
+            param_dtype=pol.param_dtype,
+            name="classifier",
+        )(y)
+        y = y.astype(pol.output_dtype)
+        if logits:
+            return y
+        return nn.log_softmax(y, axis=-1)
+
+
+def _head_init():
+    from ubresnet_tpu.models.blocks import msra_normal
+
+    return msra_normal()
+
+
+def example_input(
+    batch: int = 1, hw: Tuple[int, int] = (512, 512), channels: int = 1
+):
+    """Canonical inference shape: 512x512 single-channel ADC crops
+    (models/dllee_ssnet2018.prototxt:3-7)."""
+    return jnp.zeros((batch, hw[0], hw[1], channels), jnp.float32)
