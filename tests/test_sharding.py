@@ -1,0 +1,105 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ubresnet_tpu.core.mesh import make_mesh
+from ubresnet_tpu.core.precision import Policy
+from ubresnet_tpu.models import UResNet, UResNetConfig
+from ubresnet_tpu.parallel import make_param_shardings, shard_batch, shard_state
+from ubresnet_tpu.train import build_train_step, create_train_state, make_optimizer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def make_state(inplanes=8, opt="adam"):
+    # NB: TP-vs-single comparisons use plain SGD — Adam's first step is
+    # ±lr·sign(grad), which amplifies reduction-order noise at grad≈0
+    # into full-size update flips.
+    model = UResNet(
+        config=UResNetConfig(inplanes=inplanes, input_channels=1), policy=Policy.f32()
+    )
+    tx = make_optimizer(opt, learning_rate=1e-3, momentum=0.0)
+    x = jnp.zeros((1, 32, 32, 1))
+    return model, create_train_state(model, jax.random.PRNGKey(0), x, tx)
+
+
+def batch_of(b, seed=0):
+    k = jax.random.PRNGKey(seed)
+    img = jax.random.uniform(k, (b, 32, 32, 1)) * 10
+    return {
+        "image": img,
+        "label": (img[..., 0] > 6).astype(jnp.int32),
+        "weight": jnp.ones((b, 32, 32)),
+    }
+
+
+def test_data_parallel_matches_single_device():
+    """Sharded-step loss == single-device loss on the same batch."""
+    model, state = make_state()
+    step = build_train_step(donate=False)
+    batch = batch_of(8)
+
+    _, m_single = step(state, batch)
+
+    mesh = make_mesh(jax.devices()[:8], model_axis=1)
+    with mesh:
+        st = shard_state(state, mesh)
+        bt = shard_batch(batch, mesh)
+        _, m_shard = step(st, bt)
+    np.testing.assert_allclose(
+        float(m_shard["loss"]), float(m_single["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_shard["acc_total"]), float(m_single["acc_total"]), rtol=1e-5
+    )
+
+
+def test_model_axis_sharding_matches():
+    """(data=4, model=2) TP sharding reproduces single-device numerics."""
+    model, state = make_state(opt="sgd")
+    step = build_train_step(donate=False)
+    batch = batch_of(4)
+
+    s1, m_single = step(state, batch)
+
+    mesh = make_mesh(jax.devices()[:8], model_axis=2)
+    with mesh:
+        st = shard_state(state, mesh, min_features=32)
+        shardings = make_param_shardings(state.params, mesh, min_features=32)
+        specs = {
+            s.spec
+            for s in jax.tree_util.tree_leaves(shardings)
+        }
+        assert any("model" in str(sp) for sp in specs), "nothing TP-sharded"
+        bt = shard_batch(batch, mesh)
+        s2, m_shard = step(st, bt)
+    np.testing.assert_allclose(
+        float(m_shard["loss"]), float(m_single["loss"]), rtol=1e-5
+    )
+    # updated params agree
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        # two different XLA programs: allow reduction-order noise; a
+        # wrong collective/halo would produce O(1) errors
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4)
+
+
+def test_spatial_sharding_forward_matches():
+    """Row-sharded conv forward (halo exchange) == replicated forward."""
+    from ubresnet_tpu.parallel import spatial_sharding
+
+    model, state = make_state()
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 1))
+
+    ref = model.apply(variables, x)
+    mesh = make_mesh(jax.devices()[:8], model_axis=4)
+    with mesh:
+        xs = jax.device_put(x, spatial_sharding(mesh))
+        out = jax.jit(lambda v, im: model.apply(v, im))(variables, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=2e-3)

@@ -1,0 +1,149 @@
+"""Train-step tests: overfit, optimizer parity vs torch, checkpoint."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from ubresnet_tpu.core.precision import Policy
+from ubresnet_tpu.models import UResNet, UResNetConfig
+from ubresnet_tpu.train import (
+    build_eval_step,
+    build_train_step,
+    create_train_state,
+    make_optimizer,
+    make_schedule,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from ubresnet_tpu.train.metrics import AverageMeter, pixel_accuracy
+
+
+def small_state(lr=1e-3, inplanes=4):
+    model = UResNet(
+        config=UResNetConfig(inplanes=inplanes, input_channels=1), policy=Policy.f32()
+    )
+    tx = make_optimizer("adam", learning_rate=lr, weight_decay=1e-4)
+    x = jnp.zeros((2, 32, 32, 1))
+    return create_train_state(model, jax.random.PRNGKey(0), x, tx)
+
+
+def synth_batch(rng, b=2, hw=32):
+    img = rng.rand(b, hw, hw, 1).astype(np.float32) * 10
+    label = (img[..., 0] > 6).astype(np.int32) + (img[..., 0] > 8).astype(np.int32)
+    return {
+        "image": jnp.asarray(img),
+        "label": jnp.asarray(label),
+        "weight": jnp.ones((b, hw, hw), jnp.float32),
+    }
+
+
+def test_overfit_synthetic(rng):
+    state = small_state(lr=3e-3)
+    step = build_train_step(num_classes=3)
+    batch = synth_batch(rng)
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses
+    assert int(state.step) == 30
+
+
+def test_eval_step_runs(rng):
+    state = small_state()
+    ev = build_eval_step(num_classes=3)
+    metrics = ev(state, synth_batch(rng))
+    assert set(metrics) >= {"loss", "acc_total", "acc_class0", "acc_nonzero"}
+
+
+def test_pixel_accuracy_exact():
+    logits = jnp.asarray(
+        np.stack(
+            [
+                np.array([[5.0, 0, 0], [0, 5.0, 0]]),  # preds: 0, 1
+                np.array([[0, 0, 5.0], [5.0, 0, 0]]),  # preds: 2, 0
+            ]
+        )
+    ).reshape(1, 2, 2, 3)
+    labels = jnp.asarray(np.array([[0, 1], [2, 2]]).reshape(1, 2, 2))
+    m = pixel_accuracy(logits, labels)
+    assert float(m["acc_total"]) == pytest.approx(0.75)
+    assert float(m["acc_class0"]) == pytest.approx(1.0)
+    assert float(m["acc_class2"]) == pytest.approx(0.5)
+    assert float(m["acc_nonzero"]) == pytest.approx(2 / 3)
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("adam", dict(learning_rate=1e-2, weight_decay=1e-2)),
+    ("sgd", dict(learning_rate=1e-2, weight_decay=1e-2, momentum=0.9)),
+])
+def test_optimizer_matches_torch(rng, name, kw):
+    """Our optax chains reproduce torch.optim.{Adam,SGD} trajectories."""
+    w0 = rng.randn(5).astype(np.float32)
+    g_seq = [rng.randn(5).astype(np.float32) for _ in range(5)]
+
+    tw = torch.from_numpy(w0.copy()).requires_grad_(True)
+    topt = (
+        torch.optim.Adam([tw], lr=kw["learning_rate"], weight_decay=kw["weight_decay"])
+        if name == "adam"
+        else torch.optim.SGD(
+            [tw], lr=kw["learning_rate"], momentum=kw["momentum"],
+            weight_decay=kw["weight_decay"],
+        )
+    )
+    for g in g_seq:
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    tx = make_optimizer(name, **kw)
+    w = jnp.asarray(w0)
+    opt_state = tx.init(w)
+    for g in g_seq:
+        upd, opt_state = tx.update(jnp.asarray(g), opt_state, w)
+        w = w + upd
+
+    np.testing.assert_allclose(np.asarray(w), tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_step_schedule():
+    s = make_schedule("step", base_lr=1e-4, decay_factor=0.1, decay_every=10)
+    assert s(0) == pytest.approx(1e-4)
+    assert s(9) == pytest.approx(1e-4)
+    assert s(10) == pytest.approx(1e-5)
+    assert s(25) == pytest.approx(1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    state = small_state()
+    step = build_train_step()
+    batch = synth_batch(rng)
+    for _ in range(3):
+        state, _ = step(state, batch)
+    path = save_checkpoint(str(tmp_path), state, best=True)
+    assert "step_00000003" in path
+
+    fresh = small_state()
+    restored = restore_checkpoint(str(tmp_path), fresh)
+    assert int(restored.step) == 3
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # best alias restores too
+    best = restore_checkpoint(str(tmp_path), fresh, best=True)
+    assert int(best.step) == 3
+    # resumed training continues bit-identically
+    s1, m1 = step(state, batch)
+    s2, m2 = step(restored, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
+def test_average_meter():
+    m = AverageMeter()
+    m.update(1.0)
+    m.update(3.0)
+    assert m.avg == pytest.approx(2.0)
+    assert m.val == 3.0

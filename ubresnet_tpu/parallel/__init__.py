@@ -1,0 +1,6 @@
+from ubresnet_tpu.parallel.sharding import (  # noqa: F401
+    make_param_shardings,
+    shard_state,
+    shard_batch,
+    spatial_sharding,
+)

@@ -1,0 +1,70 @@
+"""Orbax checkpointing of the full TrainState pytree.
+
+Reference behavior (train_ubresnet2018_wlarcv2.py:253-289,474-479):
+periodic save every N iters, best-model copy, final save, and resume
+restoring model + optimizer + best metric. Orbax handles atomicity and
+async writes; the GPU-remap map_location gymnastics of the reference
+(ubresnet_funcs.py:46-51) have no TPU equivalent — pytrees are
+device-agnostic.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _checkpointer():
+    return ocp.PyTreeCheckpointer()
+
+
+def _state_payload(state) -> dict:
+    return {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "best_metric": state.best_metric,
+    }
+
+
+def save_checkpoint(directory: str, state, *, best: bool = False) -> str:
+    """Save under <dir>/step_<N>; also refresh <dir>/best when best."""
+    directory = os.path.abspath(directory)
+    step = int(jax.device_get(state.step))
+    path = os.path.join(directory, f"step_{step:08d}")
+    ckpt = _checkpointer()
+    ckpt.save(path, _state_payload(state), force=True)
+    if best:
+        best_path = os.path.join(directory, "best")
+        ckpt.save(best_path, _state_payload(state), force=True)
+    return path
+
+
+def latest_step(directory: str) -> Optional[int]:
+    if not os.path.isdir(directory):
+        return None
+    steps = [
+        int(name.split("_")[1])
+        for name in os.listdir(directory)
+        if name.startswith("step_") and name.split("_")[1].isdigit()
+    ]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(directory: str, state, *, step: Optional[int] = None,
+                       best: bool = False):
+    """Restore a TrainState saved by save_checkpoint (latest by default)."""
+    directory = os.path.abspath(directory)
+    if best:
+        path = os.path.join(directory, "best")
+    else:
+        if step is None:
+            step = latest_step(directory)
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints under {directory}")
+        path = os.path.join(directory, f"step_{step:08d}")
+    restored = _checkpointer().restore(path, item=_state_payload(state))
+    return state.replace(**restored)

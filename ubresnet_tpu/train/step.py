@@ -1,0 +1,136 @@
+"""Train/eval step builders — pure functions, jitted once, GSPMD-sharded.
+
+The reference's training iteration (train_ubresnet2018_wlarcv2.py:319-396:
+forward → PixelWiseNLLLoss → backward → Adam step → accuracy meters)
+becomes a single fused XLA program: loss+grad+optimizer+metrics compile
+into one executable, batch sharded over the mesh 'data' axis, gradient
+all-reduce inserted by GSPMD over ICI. BatchNorm statistics are computed
+by global-mean reductions, so under pjit they are cross-replica
+automatically — stronger than the reference's per-GPU DataParallel BN.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ubresnet_tpu.losses import pixelwise_weighted_nll_from_logits
+from ubresnet_tpu.train.metrics import pixel_accuracy
+
+
+class TrainState(struct.PyTreeNode):
+    """Carried training state: a single pytree for checkpointing.
+
+    Mirrors the reference checkpoint payload
+    {iter, epoch, state_dict, best_prec1, optimizer}
+    (train_ubresnet2018_wlarcv2.py:474-479) as
+    {step, params, batch_stats, opt_state, best_metric}.
+    """
+
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    best_metric: jax.Array
+
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+
+def init_model(model, rng, example_batch):
+    """Jitted model init.
+
+    Eager init dispatches hundreds of tiny ops to the device (≈160 s
+    through the TPU tunnel); jitting collapses it to one executable.
+    """
+    return jax.jit(functools.partial(model.init, train=False))(rng, example_batch)
+
+
+def create_train_state(
+    model, rng, example_input, tx: optax.GradientTransformation
+) -> TrainState:
+    variables = init_model(model, rng, example_input)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        best_metric=jnp.zeros((), jnp.float32),
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+
+def build_train_step(
+    num_classes: int = 3,
+    class_weights: Optional[jax.Array] = None,
+    donate: bool = True,
+):
+    """Returns jitted train_step(state, batch) -> (state, metrics).
+
+    batch: dict with
+      image  (b, h, w, c) float  — ADC values
+      label  (b, h, w)    int    — class ids
+      weight (b, h, w)    float  — per-pixel loss weights
+    metrics: loss, total/per-class/nonzero pixel accuracy (the
+    reference's accuracy() set, train_ubresnet2018_wlarcv2.py:509-566
+    plus the larcv1 'nonzero' combined metric, wlarcv1:584).
+    """
+
+    def step(state: TrainState, batch):
+        def loss_fn(params):
+            logits, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"],
+                train=True,
+                logits=True,
+                mutable=["batch_stats"],
+            )
+            loss = pixelwise_weighted_nll_from_logits(
+                logits, batch["label"], batch["weight"], class_weights
+            )
+            return loss, (logits, updates["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss}
+        metrics.update(pixel_accuracy(logits, batch["label"], num_classes))
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def build_eval_step(num_classes: int = 3, class_weights: Optional[jax.Array] = None):
+    """Jitted eval step: running-stats BN, loss + accuracies, no update."""
+
+    def step(state: TrainState, batch):
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"],
+            train=False,
+            logits=True,
+        )
+        loss = pixelwise_weighted_nll_from_logits(
+            logits, batch["label"], batch["weight"], class_weights
+        )
+        metrics = {"loss": loss}
+        metrics.update(pixel_accuracy(logits, batch["label"], num_classes))
+        return metrics
+
+    return jax.jit(step)
