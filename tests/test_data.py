@@ -1,0 +1,163 @@
+"""Data layer tests: meta math, UEVT roundtrip, loader, augmentations."""
+import numpy as np
+import pytest
+
+from ubresnet_tpu.data import (
+    BatchLoader,
+    DevicePrefetcher,
+    EventFileReader,
+    EventFileWriter,
+    Image2D,
+    ImageMeta,
+    SegmentDataset,
+    make_synthetic_file,
+    mirror,
+    pad_and_crop,
+    remap_labels,
+    synth_event,
+)
+from ubresnet_tpu.data.augment import DEFAULT_CLASS_MAP_10TO3
+
+
+def test_meta_coordinate_mapping():
+    m = ImageMeta(min_x=100.0, min_y=2400.0, max_x=612.0, max_y=3424.0,
+                  rows=512, cols=512, plane=2)
+    assert m.pixel_width == 1.0
+    assert m.pixel_height == 2.0
+    assert m.col(100.0) == 0
+    assert m.col(611.9) == 511
+    assert m.row(3424.0) == 0  # top edge is row 0
+    assert m.row(2400.1) == 511
+    with pytest.raises(ValueError):
+        m.col(99.0)
+
+
+def test_meta_crop_consistency():
+    m = ImageMeta(0.0, 0.0, 100.0, 200.0, rows=200, cols=100)
+    c = m.crop(10, 20, 50, 30)
+    assert (c.rows, c.cols) == (50, 30)
+    assert c.max_y == m.max_y - 10 * m.pixel_height
+    assert c.min_x == m.min_x + 20 * m.pixel_width
+    assert m.contains(c)
+    # pixel centers agree between views
+    assert c.pos_x(0) == m.pos_x(20)
+    assert c.pos_y(0) == m.pos_y(10)
+
+
+def test_uevt_roundtrip(tmp_path, rng):
+    path = str(tmp_path / "t.uevt")
+    meta = ImageMeta(0.0, 0.0, 64.0, 32.0, rows=32, cols=64, plane=1)
+    arrs = [rng.randn(32, 64).astype(np.float32) for _ in range(3)]
+    lab = rng.randint(0, 3, (32, 64)).astype(np.int32)
+    with EventFileWriter(path) as w:
+        for i, a in enumerate(arrs):
+            w.set_id(7, 8, 100 + i)
+            w.append("wire", Image2D(a, meta, 7, 8, 100 + i))
+            w.append("segment", Image2D(lab, meta, 7, 8, 100 + i))
+            w.save_entry()
+
+    r = EventFileReader(path)
+    assert len(r) == 3
+    assert r.rse(1) == (7, 8, 101)
+    ev = r.read_entry(1)
+    assert set(ev) == {"wire", "segment"}
+    np.testing.assert_array_equal(ev["wire"][0].pixels, arrs[1])
+    np.testing.assert_array_equal(ev["segment"][0].pixels, lab)
+    assert ev["segment"][0].pixels.dtype == np.int32
+    got = ev["wire"][0].meta
+    assert (got.rows, got.cols, got.plane) == (32, 64, 1)
+    assert got.max_x == 64.0
+    # producer filter
+    only = r.read_entry(0, producers=["wire"])
+    assert set(only) == {"wire"}
+
+
+def test_synth_event(rng):
+    ev = synth_event(rng, hw=(128, 128))
+    assert ev["wire"].shape == (128, 128)
+    assert set(np.unique(ev["segment"])) <= {0, 1, 2}
+    assert (ev["segment"] > 0).sum() > 10
+    assert ev["weight"].min() > 0
+
+
+def test_loader_end_to_end(tmp_path):
+    path = make_synthetic_file(str(tmp_path / "s.uevt"), n_events=8, hw=(64, 64))
+    ds = SegmentDataset(path)
+    assert len(ds) == 8
+    loader = BatchLoader(ds, batch_size=3, n_threads=2, seed=1).start()
+    try:
+        b = loader[0]
+        assert b["image"].shape == (3, 64, 64, 1)
+        assert b["label"].shape == (3, 64, 64)
+        assert b["weight"].shape == (3, 64, 64)
+        assert b["image"].dtype == np.float32
+        assert b["label"].dtype == np.int32
+        # stream keeps producing
+        for _ in range(5):
+            loader[0]
+    finally:
+        loader.stop()
+
+
+def test_loader_weight_defaults_to_ones(tmp_path, rng):
+    path = str(tmp_path / "now.uevt")
+    meta = ImageMeta(0.0, 0.0, 32.0, 32.0, 32, 32)
+    with EventFileWriter(path) as w:
+        w.append("wire", Image2D(rng.rand(32, 32).astype(np.float32), meta))
+        w.append("segment", Image2D(np.zeros((32, 32), np.int32), meta))
+        w.save_entry()
+    ds = SegmentDataset(path)
+    s = ds.get(0)
+    np.testing.assert_array_equal(s["weight"], np.ones((32, 32), np.float32))
+
+
+def test_device_prefetcher(tmp_path):
+    import jax
+
+    path = make_synthetic_file(str(tmp_path / "p.uevt"), n_events=4, hw=(32, 32))
+    loader = BatchLoader(SegmentDataset(path), batch_size=2).start()
+    try:
+        it = iter(DevicePrefetcher(loader, depth=2))
+        b = next(it)
+        assert isinstance(b["image"], jax.Array)
+        assert b["image"].shape == (2, 32, 32, 1)
+        assert "rse" not in b
+    finally:
+        loader.stop()
+
+
+def test_mirror_consistency(rng):
+    batch = {
+        "image": rng.rand(4, 8, 8, 1).astype(np.float32),
+        "label": rng.randint(0, 3, (4, 8, 8)).astype(np.int32),
+        "weight": rng.rand(4, 8, 8).astype(np.float32),
+    }
+    out = mirror(batch, np.random.RandomState(0), prob=1.0)
+    np.testing.assert_array_equal(out["image"], batch["image"][:, :, ::-1, :])
+    np.testing.assert_array_equal(out["label"], batch["label"][:, :, ::-1])
+    out2 = mirror(batch, np.random.RandomState(0), prob=0.0)
+    np.testing.assert_array_equal(out2["image"], batch["image"])
+
+
+def test_pad_and_crop_preserves_shape_and_content(rng):
+    batch = {
+        "image": np.zeros((2, 16, 16, 1), np.float32),
+        "label": np.zeros((2, 16, 16), np.int32),
+        "weight": np.ones((2, 16, 16), np.float32),
+    }
+    batch["image"][:, 8, 8, 0] = 5.0
+    batch["label"][:, 8, 8] = 2
+    out = pad_and_crop(batch, np.random.RandomState(3), pad=4)
+    assert out["image"].shape == (2, 16, 16, 1)
+    for i in range(2):
+        iy, ix = np.argwhere(out["image"][i, ..., 0] == 5.0)[0]
+        # label moved with the image
+        assert out["label"][i, iy, ix] == 2
+
+
+def test_remap_labels():
+    raw = np.array([0, 3, 6, 9], np.int32)
+    np.testing.assert_array_equal(
+        remap_labels(raw, DEFAULT_CLASS_MAP_10TO3), [0, 2, 1, 1]
+    )
+    np.testing.assert_array_equal(remap_labels(raw, None), raw)

@@ -1,0 +1,254 @@
+"""One typed config system + larcv-PSet-dialect ingestion.
+
+The reference mixes three config mechanisms (SURVEY.md §5.6): hand-
+edited ALL_CAPS globals in copied scripts, larcv PSet .cfg files for
+the data pipeline, and argparse on deploy CLIs. Here a single dataclass
+tree drives everything; PSet files (the dialect of
+training/ubresnet_train.cfg) parse into plain dicts so existing data
+configs keep working, and any dataclass config round-trips to/from the
+PSet text form.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, List, Optional, Tuple
+
+
+# ---------------------------------------------------------------- PSet
+
+
+def parse_pset(text: str) -> Dict[str, Any]:
+    """Parse larcv PSet dialect: `Name: {...}` blocks, `Key: value`
+    scalars, `[a,b]` arrays, bools, quoted strings, `#` comments."""
+    tokens = _tokenize(text)
+    pos = 0
+    out: Dict[str, Any] = {}
+    while pos < len(tokens):
+        key, val, pos = _parse_pair(tokens, pos)
+        out[key] = val
+    return out
+
+
+def emit_pset(d: Dict[str, Any], indent: int = 0) -> str:
+    """Inverse of parse_pset — emit the PSet text dialect."""
+    pad = "  " * indent
+    lines = []
+    for k, v in d.items():
+        if isinstance(v, dict):
+            lines.append(f"{pad}{k}: {{")
+            lines.append(emit_pset(v, indent + 1))
+            lines.append(pad + "}")
+        else:
+            lines.append(f"{pad}{k}: {_emit_value(v)}")
+    return "\n".join(lines)
+
+
+def _emit_value(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return f'"{v}"'
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_emit_value(x) for x in v) + "]"
+    return str(v)
+
+
+def _tokenize(text: str) -> List[str]:
+    out: List[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "#":
+            while i < n and text[i] != "\n":
+                i += 1
+        elif c in " \t\r\n,":
+            i += 1
+        elif c in "{}[]:":
+            out.append(c)
+            i += 1
+        elif c == '"':
+            j = text.index('"', i + 1)
+            out.append(text[i : j + 1])
+            i = j + 1
+        else:
+            j = i
+            while j < n and text[j] not in ' \t\r\n,{}[]:#"':
+                j += 1
+            out.append(text[i:j])
+            i = j
+    return out
+
+
+def _parse_value(tokens: List[str], pos: int) -> Tuple[Any, int]:
+    t = tokens[pos]
+    if t == "{":
+        pos += 1
+        d: Dict[str, Any] = {}
+        while tokens[pos] != "}":
+            k, v, pos = _parse_pair(tokens, pos)
+            d[k] = v
+        return d, pos + 1
+    if t == "[":
+        pos += 1
+        arr: List[Any] = []
+        while tokens[pos] != "]":
+            v, pos = _parse_value(tokens, pos)
+            arr.append(v)
+        return arr, pos + 1
+    return _scalar(t), pos + 1
+
+
+def _parse_pair(tokens: List[str], pos: int) -> Tuple[str, Any, int]:
+    key = tokens[pos]
+    if key.startswith('"'):
+        key = key[1:-1]
+    if tokens[pos + 1] != ":":
+        raise ValueError(f"expected ':' after {key!r}")
+    val, pos = _parse_value(tokens, pos + 2)
+    return key, val, pos
+
+
+def _scalar(t: str) -> Any:
+    if t.startswith('"'):
+        return t[1:-1]
+    low = t.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(t)
+    except ValueError:
+        pass
+    try:
+        return float(t)
+    except ValueError:
+        pass
+    return t
+
+
+# ------------------------------------------------------------- configs
+
+
+@dataclasses.dataclass
+class DataConfig:
+    files: List[str] = dataclasses.field(default_factory=list)
+    image_producer: str = "wire"
+    label_producer: str = "segment"
+    weight_producer: Optional[str] = "weight"
+    plane: Optional[int] = None
+    batch_size: int = 4
+    n_threads: int = 2
+    n_buffers: int = 4
+    mirror: bool = False
+    pad_crop: int = 0
+    class_map: Optional[List[int]] = None
+
+    @staticmethod
+    def from_pset(pset: Dict[str, Any], role: str = "train") -> "DataConfig":
+        """Ingest a ThreadProcessor PSet (training/ubresnet_train.cfg
+        shape): InputFiles + ProcessList entries named
+        source_/label_/weight_<role>."""
+        (name, body), = [
+            (k, v) for k, v in pset.items() if isinstance(v, dict)
+        ] or [(None, pset)]
+        procs = body.get("ProcessList", {})
+
+        def producer(prefix, default):
+            p = procs.get(f"{prefix}_{role}", {})
+            return p.get("ImageProducer", default)
+
+        mirror = any(
+            p.get("EnableMirror", False) for p in procs.values() if isinstance(p, dict)
+        )
+        return DataConfig(
+            files=list(body.get("InputFiles", [])),
+            image_producer=producer("source", "wire"),
+            label_producer=producer("label", "segment"),
+            weight_producer=producer("weight", "weight"),
+            n_threads=int(body.get("NumThreads", 2)),
+            n_buffers=int(body.get("NumBatchStorage", 2)),
+            mirror=mirror,
+        )
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    name: str = "uresnet"
+    num_classes: int = 3
+    input_channels: int = 1
+    inplanes: int = 16
+    precision: str = "bf16"  # bf16 | f32
+
+
+@dataclasses.dataclass
+class OptimConfig:
+    name: str = "adam"  # adam | sgd
+    lr: float = 1e-5
+    weight_decay: float = 1e-4
+    momentum: float = 0.9
+    schedule: str = "constant"  # constant | step
+    decay_factor: float = 0.1
+    decay_every: int = 10000
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    train_data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    valid_data: Optional[DataConfig] = None
+    # loop control (reference defaults: train_ubresnet2018_wlarcv2.py:119-144)
+    num_iters: int = 30000
+    start_iter: int = 0
+    valid_every: int = 10
+    valid_batches: int = 4
+    checkpoint_every: int = 500
+    print_every: int = 20
+    checkpoint_dir: str = "checkpoints"
+    resume: bool = False
+    log_dir: Optional[str] = None
+    seed: int = 0
+    # parallelism
+    model_axis: int = 1
+    tp_min_features: int = 256
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "TrainConfig":
+        def build(cls, sub):
+            if sub is None:
+                return None
+            fields = {f.name: f for f in dataclasses.fields(cls)}
+            kwargs = {}
+            for k, v in sub.items():
+                if k not in fields:
+                    raise KeyError(f"unknown {cls.__name__} key '{k}'")
+                kwargs[k] = v
+            return cls(**kwargs)
+
+        d = dict(d)
+        cfg = TrainConfig(
+            model=build(ModelConfig, d.pop("model", {})) or ModelConfig(),
+            optim=build(OptimConfig, d.pop("optim", {})) or OptimConfig(),
+            train_data=build(DataConfig, d.pop("train_data", {})) or DataConfig(),
+            valid_data=build(DataConfig, d.pop("valid_data", None)),
+        )
+        for k, v in d.items():
+            if not hasattr(cfg, k):
+                raise KeyError(f"unknown TrainConfig key '{k}'")
+            setattr(cfg, k, v)
+        return cfg
+
+    @staticmethod
+    def load(path: str) -> "TrainConfig":
+        """Load from JSON, or from PSet text (keys under 'Train')."""
+        with open(path) as f:
+            text = f.read()
+        try:
+            return TrainConfig.from_dict(json.loads(text))
+        except json.JSONDecodeError:
+            pset = parse_pset(text)
+            body = pset.get("Train", pset)
+            return TrainConfig.from_dict(body)
