@@ -1,0 +1,125 @@
+"""Tiling ops + deploy runner tests."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ubresnet_tpu.core.precision import Policy
+from ubresnet_tpu.data import EventFileReader, make_synthetic_file
+from ubresnet_tpu.deploy import PrecroppedRunner, WholeViewRunner
+from ubresnet_tpu.models import UResNet, UResNetConfig
+from ubresnet_tpu.ops.tiling import coverage, extract_tiles, stitch_tiles, tile_grid
+
+
+def test_tile_grid_reference_geometry():
+    """1008x3456 plane with 512x832 tiles covers fully with overlap."""
+    grid = tile_grid(1008, 3456)
+    cov = coverage(grid, 512, 832, 1008, 3456)
+    assert cov.min() >= 1  # full coverage
+    rows = sorted({r for r, _ in grid})
+    cols = sorted({c for _, c in grid})
+    assert rows[0] == 0 and rows[-1] == 1008 - 512
+    assert cols[0] == 0 and cols[-1] == 3456 - 832
+    # neighboring column tiles overlap by >= the requested amount
+    for a, b in zip(cols, cols[1:]):
+        assert a + 832 - b >= 176
+
+
+def test_tile_grid_small_image():
+    grid = tile_grid(512, 832, 512, 832)
+    assert grid == ((0, 0),)
+    with pytest.raises(ValueError):
+        tile_grid(256, 256, 512, 832)
+
+
+def test_extract_stitch_roundtrip(rng):
+    """Extract + stitch of the identity reproduces the image exactly
+    (overlap-averaging of identical values is exact)."""
+    img = jnp.asarray(rng.rand(100, 120, 3).astype(np.float32))
+    grid = tile_grid(100, 120, 32, 48, 8, 8)
+    tiles = extract_tiles(img, grid, 32, 48)
+    assert tiles.shape == (len(grid), 32, 48, 3)
+    out = stitch_tiles(tiles, grid, (100, 120))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), rtol=1e-6)
+
+
+def test_stitch_averages_overlaps():
+    grid = ((0, 0), (0, 2))  # two 4-wide tiles overlapping cols 2-3
+    tiles = jnp.stack([jnp.ones((4, 4, 1)), 3 * jnp.ones((4, 4, 1))])
+    out = stitch_tiles(tiles, grid, (4, 6))
+    np.testing.assert_allclose(np.asarray(out[:, 0:2, 0]), 1.0)
+    np.testing.assert_allclose(np.asarray(out[:, 2:4, 0]), 2.0)  # mean(1,3)
+    np.testing.assert_allclose(np.asarray(out[:, 4:6, 0]), 3.0)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    import jax
+
+    model = UResNet(
+        config=UResNetConfig(num_classes=3, input_channels=1, inplanes=4,
+                             final_conv_kernels=4),
+        policy=Policy.f32(),
+    )
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1))
+    )
+    return model, variables
+
+
+def test_precropped_runner(tmp_path, tiny_model):
+    model, variables = tiny_model
+    inp = make_synthetic_file(str(tmp_path / "in.uevt"), n_events=5, hw=(64, 64))
+    out = str(tmp_path / "out.uevt")
+    runner = PrecroppedRunner(model, variables, batch_size=2)
+    timing = runner.run(inp, out, plane=2)
+    assert timing["total"] > 0
+
+    r = EventFileReader(out)
+    assert len(r) == 5
+    ev = r.read_entry(0)
+    assert "uburn_plane2" in ev
+    scores = ev["uburn_plane2"]
+    assert len(scores) == 3  # one image per class
+    total = sum(s.pixels for s in scores)
+    np.testing.assert_allclose(total, 1.0, atol=1e-4)  # softmax sums to 1
+    # rse propagated from input
+    assert scores[0].rse == EventFileReader(inp).rse(0)
+    # meta preserved
+    assert scores[0].meta.rows == 64 and scores[0].meta.plane == 2
+
+
+def test_wholeview_runner(tmp_path, tiny_model):
+    model, variables = tiny_model
+    # small "whole view": 128x192 with 64x64 tiles
+    inp = make_synthetic_file(str(tmp_path / "wv.uevt"), n_events=2, hw=(128, 192))
+    out = str(tmp_path / "wvout.uevt")
+    runner = WholeViewRunner(
+        model, variables, tile_rows=64, tile_cols=64,
+        min_overlap_rows=8, min_overlap_cols=8, crop_batch=4,
+    )
+    runner.run(inp, out, producer="wire")
+    r = EventFileReader(out)
+    assert len(r) == 2
+    ev = r.read_entry(0)
+    scores = ev["ubsnet_plane2"]
+    assert len(scores) == 3
+    assert scores[0].pixels.shape == (128, 192)
+    total = sum(s.pixels for s in scores)
+    # stitched probabilities still sum to ~1 (mean of distributions)
+    np.testing.assert_allclose(total, 1.0, atol=1e-4)
+
+
+def test_wholeview_matches_single_tile(tmp_path, tiny_model):
+    """When the image equals the tile size, wholeview == plain forward."""
+    import jax
+
+    model, variables = tiny_model
+    img = np.random.RandomState(0).rand(64, 64).astype(np.float32) * 5
+    runner = WholeViewRunner(model, variables, tile_rows=64, tile_cols=64,
+                             crop_batch=1)
+    got = runner.score_image(img)
+    ref = np.asarray(
+        jnp.exp(model.apply(variables, jnp.asarray(img)[None, ..., None]))[0]
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)

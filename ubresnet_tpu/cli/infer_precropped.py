@@ -1,0 +1,85 @@
+"""Precropped inference CLI.
+
+Arg surface mirrors deploy/run_ubresnet_precropped.py:17-27
+(-i -o -c -p -t [-b -n -v]); checkpoints may be reference .tar files
+(imported) or this framework's orbax checkpoint dirs (with --config).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def load_model_and_variables(args):
+    from ubresnet_tpu.core.precision import Policy
+
+    policy = Policy.f32() if args.f32 else Policy.tpu()
+    if args.checkpoint.endswith(".tar"):
+        from ubresnet_tpu.deploy.importers import load_reference_model
+
+        return load_reference_model(args.checkpoint, policy=policy, arch=args.arch)
+    # orbax checkpoint dir + config
+    if not args.config:
+        raise SystemExit("--config required for orbax checkpoint dirs")
+    import jax
+
+    from ubresnet_tpu.core.config import TrainConfig
+    from ubresnet_tpu.models import get_model
+    from ubresnet_tpu.train import create_train_state, make_optimizer, restore_checkpoint
+
+    cfg = TrainConfig.load(args.config)
+    model = get_model(
+        cfg.model.name,
+        policy=policy,
+        num_classes=cfg.model.num_classes,
+        input_channels=cfg.model.input_channels,
+        inplanes=cfg.model.inplanes,
+    )
+    state = create_train_state(
+        model,
+        jax.random.PRNGKey(0),
+        jax.numpy.zeros((1, 64, 64, cfg.model.input_channels)),
+        make_optimizer(),
+    )
+    state = restore_checkpoint(args.checkpoint, state, best=args.best)
+    return model, {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(description="Score precropped event images")
+    ap.add_argument("-i", "--input", required=True, help="input UEVT file")
+    ap.add_argument("-o", "--output", required=True, help="output UEVT file")
+    ap.add_argument("-c", "--checkpoint", required=True,
+                    help="reference .tar or orbax checkpoint dir")
+    ap.add_argument("-p", "--plane", type=int, default=2, help="wire plane id")
+    ap.add_argument("-t", "--producer", default="wire", help="ADC image producer")
+    ap.add_argument("-b", "--batchsize", type=int, default=8)
+    ap.add_argument("-n", "--nevents", type=int, default=None)
+    ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--config", default=None, help="TrainConfig for orbax ckpts")
+    ap.add_argument("--arch", default="uresnet", choices=["uresnet", "aspp_resnet"])
+    ap.add_argument("--best", action="store_true", help="load best checkpoint")
+    ap.add_argument("--f32", action="store_true", help="full-f32 (parity) mode")
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ubresnet_tpu.deploy import PrecroppedRunner
+
+    model, variables = load_model_and_variables(args)
+    runner = PrecroppedRunner(model, variables, batch_size=args.batchsize)
+    timing = runner.run(
+        args.input,
+        args.output,
+        plane=args.plane,
+        producer=args.producer,
+        n_entries=args.nevents,
+        verbose=args.verbose,
+    )
+    print(json.dumps(timing))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,56 @@
+"""Whole-view inference CLI (run_ubresnet_wholeview.py equivalent):
+split whole-plane images into overlapping crops, score, stitch."""
+from __future__ import annotations
+
+import argparse
+import json
+
+from ubresnet_tpu.cli.infer_precropped import load_model_and_variables
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Score whole-plane event images")
+    ap.add_argument("-i", "--input", required=True)
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("-c", "--checkpoint", required=True)
+    ap.add_argument("-t", "--producer", default="wire")
+    ap.add_argument("-n", "--nevents", type=int, default=None)
+    ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--planes", type=int, nargs="*", default=None)
+    ap.add_argument("--tile-rows", type=int, default=512)
+    ap.add_argument("--tile-cols", type=int, default=832)
+    ap.add_argument("--overlap-rows", type=int, default=16)
+    ap.add_argument("--overlap-cols", type=int, default=176)
+    ap.add_argument("--crop-batch", type=int, default=10)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--arch", default="uresnet", choices=["uresnet", "aspp_resnet"])
+    ap.add_argument("--best", action="store_true")
+    ap.add_argument("--f32", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ubresnet_tpu.deploy import WholeViewRunner
+
+    model, variables = load_model_and_variables(args)
+    runner = WholeViewRunner(
+        model,
+        variables,
+        tile_rows=args.tile_rows,
+        tile_cols=args.tile_cols,
+        min_overlap_rows=args.overlap_rows,
+        min_overlap_cols=args.overlap_cols,
+        crop_batch=args.crop_batch,
+    )
+    timing = runner.run(
+        args.input,
+        args.output,
+        producer=args.producer,
+        planes=args.planes,
+        n_entries=args.nevents,
+        verbose=args.verbose,
+    )
+    print(json.dumps(timing))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -62,9 +62,16 @@ def synth_event(
     n_tracks: Tuple[int, int] = (1, 4),
     n_showers: Tuple[int, int] = (0, 3),
     adc_noise: float = 0.5,
+    noise_occupancy: float = 0.005,
     vertex_weight: float = 10.0,
 ) -> Dict[str, np.ndarray]:
-    """Returns {'wire': f32 (h,w), 'segment': i32 (h,w), 'weight': f32}."""
+    """Returns {'wire': f32 (h,w), 'segment': i32 (h,w), 'weight': f32}.
+
+    Images are sparse like thresholded detector data: only hit pixels
+    and a small fraction of noise pixels are nonzero (real wire images
+    are zero-suppressed; reference masks at ADC>10,
+    tf/compare_caffe_to_tf.py:15-17).
+    """
     h, w = hw
     adc = np.zeros((h, w), np.float32)
     label = np.zeros((h, w), np.int32)
@@ -75,7 +82,10 @@ def synth_event(
             vertices.append(v)
     for _ in range(rng.randint(n_showers[0], n_showers[1] + 1)):
         vertices.append(_draw_shower(adc, label, rng))
-    adc += rng.exponential(adc_noise, size=adc.shape).astype(np.float32)
+    n_noise = int(noise_occupancy * h * w)
+    ys = rng.randint(0, h, n_noise)
+    xs = rng.randint(0, w, n_noise)
+    adc[ys, xs] += rng.exponential(10 * adc_noise, size=n_noise).astype(np.float32)
 
     # class-balancing weights: w_c = total / (nclasses * n_c)
     weight = np.zeros((h, w), np.float32)

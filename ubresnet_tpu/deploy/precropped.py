@@ -1,0 +1,109 @@
+"""Precropped inference — batched scoring of event files.
+
+Capability parity with deploy/run_ubresnet_precropped.py:115-194 (read
+precropped ADC images for one plane, forward, write per-class score
+images to producer ``uburn_plane%d`` carrying the original meta and
+run/subrun/event id) with the reference's two defects fixed as intent
+(SURVEY.md §7): batches actually fill to batch_size (the reference
+loops one event at a time regardless of -b, ln 136-138), and the whole
+batch is one device dispatch.
+
+Keeps the reference's per-stage cumulative timing dict report
+(ln 97-103,192-194) so numbers stay comparable.
+"""
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ubresnet_tpu.data.meta import Image2D
+from ubresnet_tpu.data.uevt import EventFileReader, EventFileWriter
+
+
+class PrecroppedRunner:
+    def __init__(
+        self,
+        model,
+        variables,
+        batch_size: int = 8,
+        adc_threshold: Optional[float] = None,
+    ):
+        self.model = model
+        self.variables = variables
+        self.batch_size = batch_size
+        self.adc_threshold = adc_threshold
+        self._fwd = jax.jit(lambda v, x: jnp.exp(model.apply(v, x)))
+
+    def run(
+        self,
+        input_file: str,
+        output_file: str,
+        plane: int = 2,
+        producer: str = "wire",
+        out_producer: Optional[str] = None,
+        n_entries: Optional[int] = None,
+        verbose: bool = False,
+    ) -> OrderedDict:
+        timing = OrderedDict(
+            [("total", 0.0), ("read", 0.0), ("forward", 0.0), ("write", 0.0)]
+        )
+        t_total = time.time()
+        reader = EventFileReader(input_file)
+        writer = EventFileWriter(output_file)
+        out_producer = out_producer or f"uburn_plane{plane}"
+        n = len(reader) if n_entries is None else min(n_entries, len(reader))
+
+        for start in range(0, n, self.batch_size):
+            idxs = range(start, min(start + self.batch_size, n))
+            t0 = time.time()
+            images = []
+            for i in idxs:
+                ev = reader.read_entry(i, producers=[producer])
+                imgs = ev[producer]
+                sel = [im for im in imgs if im.meta.plane == plane] or imgs
+                images.append(sel[0])
+            batch = np.stack([im.pixels for im in images]).astype(np.float32)[
+                ..., None
+            ]
+            timing["read"] += time.time() - t0
+
+            t0 = time.time()
+            # pad the tail batch to the compiled shape (static shapes)
+            pad = self.batch_size - batch.shape[0]
+            if pad:
+                batch = np.concatenate([batch, np.zeros_like(batch[:pad])])
+            scores = self._fwd(self.variables, jnp.asarray(batch))
+            scores = np.asarray(jax.device_get(scores))
+            if pad:
+                scores = scores[: len(images)]
+            timing["forward"] += time.time() - t0
+
+            t0 = time.time()
+            for img, score in zip(images, scores):
+                writer.set_id(*img.rse)
+                for c in range(score.shape[-1]):
+                    writer.append(
+                        out_producer,
+                        Image2D(
+                            score[..., c].astype(np.float32),
+                            img.meta,
+                            *img.rse,
+                        ),
+                    )
+                writer.save_entry()
+            timing["write"] += time.time() - t0
+            if verbose:
+                print(f"entries [{start},{start + len(images)}) done", flush=True)
+
+        writer.close()
+        timing["total"] = time.time() - t_total
+        if verbose:
+            print("------ timing -------")
+            for k, v in timing.items():
+                print(f"{k} : {v:.3f} s / {v / max(n, 1):.5f} s per event")
+        return timing

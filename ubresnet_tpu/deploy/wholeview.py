@@ -1,0 +1,150 @@
+"""Whole-view inference — split, score, stitch, all device-resident.
+
+Capability parity with deploy/run_ubresnet_wholeview.py (the reference
+file is a partially-unadapted larflow copy, SURVEY.md §2 caveats; this
+implements the *intended* ubresnet pipeline: single-input, per-plane,
+3-class):
+
+  1. read whole-plane ADC images (e.g. 1008x3456),
+  2. tile into overlapping 512x832 crops (UBSplitDetector role —
+     static grid, ops/tiling.py),
+  3. batch crops through the network,
+  4. overlap-average per-crop class scores back into whole-view score
+     images (UBLArFlowStitcher role),
+  5. write per-class images to producer ``ubsnet_plane%d`` with crop
+     metas derived from the whole-image meta.
+
+Split/score/stitch compile into one XLA program per plane; only the
+final stitched scores return to the host.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from collections import OrderedDict
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ubresnet_tpu.data.meta import Image2D
+from ubresnet_tpu.data.uevt import EventFileReader, EventFileWriter
+from ubresnet_tpu.ops.tiling import extract_tiles, stitch_tiles, tile_grid
+
+
+class WholeViewRunner:
+    def __init__(
+        self,
+        model,
+        variables,
+        tile_rows: int = 512,
+        tile_cols: int = 832,
+        min_overlap_rows: int = 16,
+        min_overlap_cols: int = 176,
+        crop_batch: int = 10,
+    ):
+        self.model = model
+        self.variables = variables
+        self.tile_rows = tile_rows
+        self.tile_cols = tile_cols
+        self.min_overlap_rows = min_overlap_rows
+        self.min_overlap_cols = min_overlap_cols
+        self.crop_batch = crop_batch
+        self._compiled = {}
+
+    def _pipeline(self, hw: Tuple[int, int]):
+        """Jitted split→forward→stitch for a given whole-image size."""
+        if hw in self._compiled:
+            return self._compiled[hw]
+        grid = tile_grid(
+            hw[0],
+            hw[1],
+            self.tile_rows,
+            self.tile_cols,
+            self.min_overlap_rows,
+            self.min_overlap_cols,
+        )
+        n_tiles = len(grid)
+        # pad tile count to a multiple of crop_batch for static shapes
+        n_pad = (-n_tiles) % self.crop_batch
+
+        @jax.jit
+        def run(variables, image):
+            tiles = extract_tiles(image, grid, self.tile_rows, self.tile_cols)
+            if n_pad:
+                tiles = jnp.concatenate(
+                    [tiles, jnp.zeros((n_pad,) + tiles.shape[1:], tiles.dtype)]
+                )
+            chunks = tiles.reshape(
+                -1, self.crop_batch, self.tile_rows, self.tile_cols, tiles.shape[-1]
+            )
+            scores = jax.lax.map(
+                lambda t: jnp.exp(self.model.apply(variables, t)), chunks
+            )
+            scores = scores.reshape(-1, *scores.shape[2:])[:n_tiles]
+            return stitch_tiles(scores, grid, hw)
+
+        self._compiled[hw] = (run, grid)
+        return self._compiled[hw]
+
+    def score_image(self, image: np.ndarray) -> np.ndarray:
+        """(h, w) ADC -> (h, w, classes) stitched probabilities."""
+        run, _ = self._pipeline(image.shape[:2])
+        out = run(self.variables, jnp.asarray(image, jnp.float32)[..., None])
+        return np.asarray(jax.device_get(out))
+
+    def run(
+        self,
+        input_file: str,
+        output_file: str,
+        producer: str = "wire",
+        planes: Optional[Sequence[int]] = None,
+        n_entries: Optional[int] = None,
+        verbose: bool = False,
+    ) -> OrderedDict:
+        timing = OrderedDict(
+            [("total", 0.0), ("read", 0.0), ("splitscore", 0.0), ("write", 0.0)]
+        )
+        t_total = time.time()
+        reader = EventFileReader(input_file)
+        writer = EventFileWriter(output_file)
+        n = len(reader) if n_entries is None else min(n_entries, len(reader))
+
+        for i in range(n):
+            t0 = time.time()
+            ev = reader.read_entry(i, producers=[producer])
+            images = ev[producer]
+            if planes is not None:
+                images = [im for im in images if im.meta.plane in planes]
+            timing["read"] += time.time() - t0
+
+            for img in images:
+                t0 = time.time()
+                scores = self.score_image(img.pixels)
+                timing["splitscore"] += time.time() - t0
+
+                t0 = time.time()
+                for c in range(scores.shape[-1]):
+                    writer.append(
+                        f"ubsnet_plane{img.meta.plane}",
+                        Image2D(scores[..., c].astype(np.float32), img.meta, *img.rse),
+                    )
+                timing["write"] += time.time() - t0
+            # one output entry per event, all planes (reference writes
+            # per-event via save_entry, run_ubresnet_wholeview.py:284-286)
+            t0 = time.time()
+            if images:
+                writer.set_id(*images[0].rse)
+            writer.save_entry()
+            timing["write"] += time.time() - t0
+            if verbose:
+                print(f"entry {i}: {len(images)} planes scored", flush=True)
+
+        writer.close()
+        timing["total"] = time.time() - t_total
+        if verbose:
+            print("------ timing -------")
+            for k, v in timing.items():
+                print(f"{k} : {v:.3f} s / {v / max(n, 1):.5f} s per event")
+        return timing

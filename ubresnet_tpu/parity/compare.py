@@ -1,0 +1,71 @@
+"""Golden-model parity metrics.
+
+The reference's acceptance test is pixel-level score comparison between
+two engines over above-threshold pixels: per-class mean |Δscore| where
+ADC > 10 (tf/compare_caffe_to_tf.py:15-17,89-97), plus the argmax label
+agreement used as the rebuild's north-star (≥0.999, BASELINE.md).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ubresnet_tpu.data.uevt import EventFileReader
+
+
+def score_diff(
+    scores_a: Sequence[np.ndarray],
+    scores_b: Sequence[np.ndarray],
+    adc: Optional[np.ndarray] = None,
+    adc_threshold: float = 10.0,
+) -> Dict[str, float]:
+    """Per-class mean |Δ| over masked pixels + label agreement.
+
+    scores_a/b: list of (h, w) per-class score images (same order).
+    adc: (h, w) charge image for the threshold mask (None = all pixels).
+    """
+    a = np.stack(scores_a)  # (c, h, w)
+    b = np.stack(scores_b)
+    mask = np.ones(a.shape[1:], bool) if adc is None else adc > adc_threshold
+    n = max(int(mask.sum()), 1)
+    out = {}
+    for c in range(a.shape[0]):
+        out[f"meanabsdiff_class{c}"] = float(
+            np.abs(a[c] - b[c])[mask].sum() / n
+        )
+    agree = (a.argmax(0) == b.argmax(0))[mask]
+    out["label_agreement"] = float(agree.mean()) if agree.size else 1.0
+    out["n_pixels"] = float(n)
+    return out
+
+
+def compare_score_files(
+    file_a: str,
+    file_b: str,
+    producer_a: str,
+    producer_b: str,
+    adc_file: Optional[str] = None,
+    adc_producer: str = "wire",
+    adc_threshold: float = 10.0,
+    n_entries: Optional[int] = None,
+) -> Dict[str, float]:
+    """Entry-by-entry comparison of two score files; returns metric
+    means over entries (the compare_caffe_to_tf.py loop)."""
+    ra, rb = EventFileReader(file_a), EventFileReader(file_b)
+    radc = EventFileReader(adc_file) if adc_file else None
+    n = min(len(ra), len(rb))
+    if n_entries is not None:
+        n = min(n, n_entries)
+    acc: Dict[str, List[float]] = {}
+    for i in range(n):
+        sa = [im.pixels for im in ra.read_entry(i)[producer_a]]
+        sb = [im.pixels for im in rb.read_entry(i)[producer_b]]
+        adc = None
+        if radc is not None:
+            imgs = radc.read_entry(i)[adc_producer]
+            adc = imgs[0].pixels
+        m = score_diff(sa, sb, adc, adc_threshold)
+        for k, v in m.items():
+            acc.setdefault(k, []).append(v)
+    return {k: float(np.mean(v)) for k, v in acc.items()} | {"n_entries": float(n)}
