@@ -1,0 +1,74 @@
+"""Native (C++) reader/filler tests — parity with the Python layer."""
+import numpy as np
+import pytest
+
+from ubresnet_tpu.data import EventFileReader, make_synthetic_file
+
+native = pytest.importorskip("ubresnet_tpu.data.native")
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="no C++ toolchain"
+)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("native") / "ev.uevt")
+    return make_synthetic_file(path, n_events=10, hw=(64, 96), seed=5)
+
+
+def test_native_reader_matches_python(synth):
+    py = EventFileReader(synth)
+    nat = native.NativeEventFile(synth)
+    assert len(nat) == len(py)
+    for entry in (0, 3, 9):
+        ref = py.read_entry(entry)["wire"][0]
+        got = nat.read_image(entry, "wire", plane=2)
+        np.testing.assert_array_equal(got.pixels, ref.pixels)
+        assert got.rse == ref.rse
+        assert got.meta == ref.meta
+    with pytest.raises(KeyError):
+        nat.read_image(0, "nope")
+
+
+def test_native_filler_batches(synth):
+    loader = native.NativeBatchLoader(
+        synth, batch_size=3, plane=2, n_threads=2, seed=1
+    ).start()
+    try:
+        b = loader[0]
+        assert b["image"].shape == (3, 64, 96, 1)
+        assert b["label"].shape == (3, 64, 96)
+        assert b["label"].dtype == np.int32
+        assert b["weight"].min() > 0
+        # labels are valid class ids and images contain real content
+        assert set(np.unique(b["label"])) <= {0, 1, 2}
+        assert (b["image"] != 0).any()
+        for _ in range(5):
+            loader[0]
+    finally:
+        loader.stop()
+
+
+def test_native_filler_threshold_and_remap(synth):
+    loader = native.NativeBatchLoader(
+        synth, batch_size=2, plane=2, adc_threshold=20.0,
+        class_map=[0, 2, 1], seed=2,
+    ).start()
+    try:
+        b = loader[0]
+        nz = b["image"][b["image"] != 0]
+        assert nz.size == 0 or nz.min() >= 20.0
+    finally:
+        loader.stop()
+
+
+def test_native_batches_match_python_content(synth):
+    """Same entry read through both paths is identical (modulo batch
+    sampling, so read a single known entry via the reader APIs)."""
+    py = EventFileReader(synth)
+    nat = native.NativeEventFile(synth)
+    for prod in ("wire", "weight"):
+        np.testing.assert_array_equal(
+            nat.read_image(4, prod, 2).pixels, py.read_entry(4)[prod][0].pixels
+        )

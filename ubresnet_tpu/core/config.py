@@ -142,6 +142,8 @@ class DataConfig:
     mirror: bool = False
     pad_crop: int = 0
     class_map: Optional[List[int]] = None
+    adc_threshold: float = 0.0
+    native: bool = True  # C++ filler when built; falls back to Python
 
     @staticmethod
     def from_pset(pset: Dict[str, Any], role: str = "train") -> "DataConfig":

@@ -44,6 +44,7 @@ class SegmentDataset:
         plane: Optional[int] = None,
         class_map: Optional[Sequence[int]] = None,
         label_offset: int = 0,
+        adc_threshold: float = 0.0,
     ):
         if isinstance(paths, str):
             paths = [paths]
@@ -59,6 +60,7 @@ class SegmentDataset:
         self.plane = plane
         self.class_map = class_map
         self.label_offset = label_offset
+        self.adc_threshold = adc_threshold
 
     def __len__(self):
         return len(self._entries)
@@ -85,8 +87,13 @@ class SegmentDataset:
             # weight defaults to ones when absent (prep_data,
             # train_ubresnet2018_wlarcv2.py:606-610)
             weight = np.ones_like(label, np.float32)
+        pixels = img.pixels.astype(np.float32)
+        if self.adc_threshold > 0:
+            # zero-suppress below threshold (prep_data's src_adc_threshold
+            # intent, train_ubresnet2018_wlarcv2.py:613-615)
+            pixels = np.where(pixels < self.adc_threshold, 0.0, pixels)
         return {
-            "image": img.pixels.astype(np.float32)[..., None],
+            "image": pixels[..., None],
             "label": label,
             "weight": weight,
             "rse": np.asarray(img.rse, np.int32),

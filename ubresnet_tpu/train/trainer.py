@@ -43,7 +43,31 @@ from ubresnet_tpu.train.step import (
 )
 
 
-def make_loader(dcfg: DataConfig, seed: int = 0) -> BatchLoader:
+def make_loader(dcfg: DataConfig, seed: int = 0):
+    """C++ threaded filler when available (and no Python-only augments
+    requested); otherwise the Python BatchLoader."""
+    if dcfg.native and not dcfg.pad_crop:
+        try:
+            from ubresnet_tpu.data.native import NativeBatchLoader, native_available
+
+            if native_available():
+                return NativeBatchLoader(
+                    dcfg.files,
+                    batch_size=dcfg.batch_size,
+                    image_producer=dcfg.image_producer,
+                    label_producer=dcfg.label_producer,
+                    weight_producer=dcfg.weight_producer,
+                    plane=-1 if dcfg.plane is None else dcfg.plane,
+                    n_threads=dcfg.n_threads,
+                    n_buffers=dcfg.n_buffers,
+                    mirror=dcfg.mirror,
+                    adc_threshold=dcfg.adc_threshold,
+                    class_map=dcfg.class_map,
+                    seed=seed,
+                )
+        except Exception as e:  # toolchain absent etc.
+            print(f"native loader unavailable ({e}); using Python loader",
+                  flush=True)
     ds = SegmentDataset(
         dcfg.files,
         image_producer=dcfg.image_producer,
@@ -51,6 +75,7 @@ def make_loader(dcfg: DataConfig, seed: int = 0) -> BatchLoader:
         weight_producer=dcfg.weight_producer,
         plane=dcfg.plane,
         class_map=dcfg.class_map,
+        adc_threshold=dcfg.adc_threshold,
     )
     augment = None
     if dcfg.mirror and dcfg.pad_crop:
