@@ -71,6 +71,7 @@ def build_train_step(
     num_classes: int = 3,
     class_weights: Optional[jax.Array] = None,
     donate: bool = True,
+    use_pallas_loss: bool = False,
 ):
     """Returns jitted train_step(state, batch) -> (state, metrics).
 
@@ -83,6 +84,18 @@ def build_train_step(
     plus the larcv1 'nonzero' combined metric, wlarcv1:584).
     """
 
+    if use_pallas_loss and class_weights is not None:
+        raise NotImplementedError("pallas loss does not take class_weights yet")
+
+    def loss_impl(logits, labels, weights):
+        if use_pallas_loss:
+            from ubresnet_tpu.ops.pallas_loss import pallas_weighted_nll
+
+            return pallas_weighted_nll(logits, labels, weights, False)
+        return pixelwise_weighted_nll_from_logits(
+            logits, labels, weights, class_weights
+        )
+
     def step(state: TrainState, batch):
         def loss_fn(params):
             logits, updates = state.apply_fn(
@@ -92,9 +105,7 @@ def build_train_step(
                 logits=True,
                 mutable=["batch_stats"],
             )
-            loss = pixelwise_weighted_nll_from_logits(
-                logits, batch["label"], batch["weight"], class_weights
-            )
+            loss = loss_impl(logits, batch["label"], batch["weight"])
             return loss, (logits, updates["batch_stats"])
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
