@@ -7,6 +7,9 @@ import json
 
 
 def main(argv=None):
+    from ubresnet_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(description="Compare two score files")
     ap.add_argument("file_a")
     ap.add_argument("file_b")

@@ -16,6 +16,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from ubresnet_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(description="Run a caffe graph on event images")
     ap.add_argument("-i", "--input", required=True, help="input UEVT file")
     ap.add_argument("-o", "--output", required=True, help="output UEVT file")

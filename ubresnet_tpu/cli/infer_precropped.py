@@ -64,6 +64,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from ubresnet_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     args = build_parser().parse_args(argv)
     from ubresnet_tpu.deploy import PrecroppedRunner
 

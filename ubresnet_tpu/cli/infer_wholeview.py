@@ -9,6 +9,9 @@ from ubresnet_tpu.cli.infer_precropped import load_model_and_variables
 
 
 def main(argv=None):
+    from ubresnet_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(description="Score whole-plane event images")
     ap.add_argument("-i", "--input", required=True)
     ap.add_argument("-o", "--output", required=True)

@@ -36,6 +36,9 @@ def apply_overrides(cfg: TrainConfig, overrides):
 
 
 def main(argv=None):
+    from ubresnet_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(description="Train a ubresnet_tpu model")
     ap.add_argument("--config", "-c", required=True, help="JSON or PSet config file")
     ap.add_argument(
