@@ -28,10 +28,14 @@ class Policy:
     param_dtype: Any = jnp.float32
     compute_dtype: Any = jnp.bfloat16
     output_dtype: Any = jnp.float32
+    # W-packing factor for low-channel stages (ops/packed.py): folds
+    # `pack_width` columns into channels so tiles stay lane-full.
+    # 0 disables. 8 is the sweet spot for 16-32 channel stages.
+    pack_width: int = 0
 
     @staticmethod
     def tpu() -> "Policy":
-        return Policy()
+        return Policy(pack_width=8)
 
     @staticmethod
     def f32() -> "Policy":

@@ -60,19 +60,34 @@ class ASPPResNet(nn.Module):
         pol = self.policy
         p = cfg.inplanes
 
-        x0 = ConvBN(p, 7, 1, use_bias=True, policy=pol, name="stem")(
-            x.astype(pol.compute_dtype), train=train
-        )
-        y = stem_pool(x0)
+        # W-packed low-channel stages (stem/enc1/dec2/dec1/head), as in
+        # UResNet — the ASPP stages are wide and stay unpacked.
+        pw = pol.pack_width
+        use_pack = pw > 1 and x.shape[2] % (2 * pw) == 0
+        if use_pack:
+            from ubresnet_tpu.ops.packed import pack, unpack
+
+        xin = x.astype(pol.compute_dtype)
+        if use_pack:
+            x0 = ConvBN(p, 7, 1, use_bias=True, packed=pw, policy=pol,
+                        name="stem")(pack(xin, pw), train=train)
+            y = pack(stem_pool(unpack(x0, pw)), pw)
+        else:
+            x0 = ConvBN(p, 7, 1, use_bias=True, policy=pol, name="stem")(
+                xin, train=train
+            )
+            y = stem_pool(x0)
 
         encs = []
         for i in range(5):
             feats = p * (2 ** (i + 1))
             stride = 1 if i == 0 else 2
-            y = DoubleResNet(feats, stride, policy=pol, name=f"enc{i + 1}")(
-                y, train=train
-            )
+            stage_packed = pw if (use_pack and i == 0) else 0
+            y = DoubleResNet(feats, stride, packed=stage_packed, policy=pol,
+                             name=f"enc{i + 1}")(y, train=train)
             encs.append(y)
+            if use_pack and i == 0:
+                y = unpack(y, pw)
         e1, e2, e3, e4, e5 = encs
 
         def widen(e, feats, name):
@@ -93,21 +108,34 @@ class ASPPResNet(nn.Module):
             y, e3_skip, train=train
         )
         y = DecoderBlock(p * 4, p * 4, policy=pol, name="dec3")(y, e2, train=train)
-        y = DecoderBlock(p * 2, p * 2, policy=pol, name="dec2")(y, e1, train=train)
-        y = DecoderBlock(p, p, policy=pol, name="dec1")(y, x0, train=train)
+        if use_pack:
+            y = pack(y, pw)
+        dp = pw if use_pack else 0
+        y = DecoderBlock(p * 2, p * 2, packed=dp, policy=pol, name="dec2")(
+            y, e1, train=train)
+        y = DecoderBlock(p, p, packed=dp, policy=pol, name="dec1")(
+            y, x0, train=train)
 
         y = ConvBN(
-            cfg.final_conv_kernels, 7, 1, use_bias=True, policy=pol, name="head"
+            cfg.final_conv_kernels, 7, 1, use_bias=True, packed=dp,
+            policy=pol, name="head"
         )(y, train=train)
-        y = nn.Conv(
-            cfg.num_classes,
-            (7, 7),
-            padding=[(3, 3), (3, 3)],
-            use_bias=True,
-            dtype=pol.compute_dtype,
-            param_dtype=pol.param_dtype,
-            name="classifier",
-        )(y)
+        if use_pack:
+            from ubresnet_tpu.models.blocks import PackedConv
+
+            y = PackedConv(cfg.num_classes, 7, 1, True, pw, pol,
+                           name="classifier")(y)
+            y = unpack(y, pw)
+        else:
+            y = nn.Conv(
+                cfg.num_classes,
+                (7, 7),
+                padding=[(3, 3), (3, 3)],
+                use_bias=True,
+                dtype=pol.compute_dtype,
+                param_dtype=pol.param_dtype,
+                name="classifier",
+            )(y)
         y = y.astype(pol.output_dtype)
         if logits:
             return y

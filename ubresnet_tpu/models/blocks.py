@@ -51,8 +51,105 @@ def msra_normal():
     return init
 
 
+class PackedConv(nn.Module):
+    """Conv on a W-packed tensor (ops/packed.py). Params are stored in
+    the UNPACKED layout under the same names as nn.Conv, so checkpoints
+    are interchangeable between packed and unpacked execution."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = False
+    pack: int = 8
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x):
+        from ubresnet_tpu.ops.packed import packed_conv
+
+        ci = x.shape[-1] // self.pack
+        kernel = self.param(
+            "kernel",
+            msra_normal(),
+            (self.kernel, self.kernel, ci, self.features),
+            self.policy.param_dtype,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                self.policy.param_dtype,
+            )
+            if self.use_bias
+            else None
+        )
+        cdt = self.policy.compute_dtype
+        return packed_conv(
+            x.astype(cdt),
+            kernel.astype(cdt),
+            self.pack,
+            self.stride,
+            bias=bias.astype(cdt) if bias is not None else None,
+        )
+
+
+class PackedBN(nn.Module):
+    """BatchNorm over a W-packed tensor with flax-compatible naming
+    (params scale/bias, batch_stats mean/var, all per REAL channel).
+
+    Train-mode statistics are exact: per-packed-channel moments are
+    averaged over the pack offsets, reproducing the unpacked batch
+    statistics (equal pixel counts per offset)."""
+
+    pack: int = 8
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    policy: Policy = Policy()
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        from ubresnet_tpu.ops.packed import tile_channel_vector
+
+        p = self.pack
+        c = x.shape[-1] // p
+        scale = self.param(
+            "scale", nn.initializers.ones, (c,), self.policy.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (c,), self.policy.param_dtype
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if train:
+            xf = x.astype(jnp.float32)
+            b, h, wc, _ = xf.shape
+            x5 = xf.reshape(b, h, wc, p, c)
+            mean = jnp.mean(x5, axis=(0, 1, 2, 3))
+            var = jnp.mean(jnp.square(x5), axis=(0, 1, 2, 3)) - jnp.square(mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        cdt = self.policy.compute_dtype
+        g = (scale.astype(jnp.float32) * jax.lax.rsqrt(var + self.epsilon))
+        bterm = bias.astype(jnp.float32) - mean * g
+        return (
+            x.astype(cdt) * tile_channel_vector(g, p).astype(cdt)
+            + tile_channel_vector(bterm, p).astype(cdt)
+        )
+
+
 class ConvBN(nn.Module):
-    """Conv → BatchNorm, optional ReLU — the universal reference motif."""
+    """Conv → BatchNorm, optional ReLU — the universal reference motif.
+
+    ``packed > 0`` runs on W-packed tensors (lane-efficient path for
+    low-channel stages) with identical parameters and math.
+    """
 
     features: int
     kernel: int = 3
@@ -60,10 +157,27 @@ class ConvBN(nn.Module):
     dilation: int = 1
     use_bias: bool = False
     act: bool = True
+    packed: int = 0
     policy: Policy = Policy()
 
     @nn.compact
     def __call__(self, x, *, train: bool):
+        if self.packed:
+            if self.dilation != 1:
+                raise NotImplementedError("packed conv with dilation")
+            y = PackedConv(
+                self.features,
+                self.kernel,
+                self.stride,
+                self.use_bias,
+                self.packed,
+                self.policy,
+                name="conv",
+            )(x)
+            y = PackedBN(self.packed, policy=self.policy, name="bn")(
+                y, train=train
+            )
+            return nn.relu(y) if self.act else y
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
@@ -99,21 +213,23 @@ class BasicBlock(nn.Module):
 
     features: int
     stride: int = 1
+    packed: int = 0
     policy: Policy = Policy()
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        inp = x.shape[-1]
-        y = ConvBN(self.features, 3, self.stride, policy=self.policy, name="cb1")(
-            x, train=train
-        )
-        y = ConvBN(self.features, 3, 1, policy=self.policy, name="cb2")(y, train=train)
+        inp = x.shape[-1] // (self.packed or 1)
+        y = ConvBN(self.features, 3, self.stride, packed=self.packed,
+                   policy=self.policy, name="cb1")(x, train=train)
+        y = ConvBN(self.features, 3, 1, packed=self.packed,
+                   policy=self.policy, name="cb2")(y, train=train)
         if inp != self.features or self.stride > 1:
             x = ConvBN(
                 self.features,
                 1,
                 self.stride,
                 act=False,
+                packed=self.packed,
                 policy=self.policy,
                 name="bypass",
             )(x, train=train)
@@ -125,16 +241,15 @@ class DoubleResNet(nn.Module):
 
     features: int
     stride: int = 1
+    packed: int = 0
     policy: Policy = Policy()
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        x = BasicBlock(self.features, self.stride, policy=self.policy, name="res1")(
-            x, train=train
-        )
-        x = BasicBlock(self.features, 1, policy=self.policy, name="res2")(
-            x, train=train
-        )
+        x = BasicBlock(self.features, self.stride, packed=self.packed,
+                       policy=self.policy, name="res1")(x, train=train)
+        x = BasicBlock(self.features, 1, packed=self.packed,
+                       policy=self.policy, name="res2")(x, train=train)
         return x
 
 
@@ -152,10 +267,26 @@ class Deconv2x(nn.Module):
     """
 
     features: int
+    packed: int = 0
     policy: Policy = Policy()
 
     @nn.compact
     def __call__(self, x, target_hw: Optional[Tuple[int, int]] = None):
+        if self.packed:
+            from ubresnet_tpu.ops.packed import packed_deconv2x
+
+            cin = x.shape[-1] // self.packed
+            kernel = self.param(
+                "kernel", msra_normal(), (4, 4, cin, self.features),
+                self.policy.param_dtype,
+            )
+            th = target_hw[0] if target_hw is not None else 2 * x.shape[1]
+            if target_hw is not None and target_hw[1] != 2 * x.shape[2] * self.packed:
+                raise ValueError("packed deconv requires exact 2x width")
+            cdt = self.policy.compute_dtype
+            return packed_deconv2x(
+                x.astype(cdt), kernel.astype(cdt), self.packed, target_h=th
+            )
         cin = x.shape[-1]
         kernel = self.param(
             "kernel", msra_normal(), (4, 4, cin, self.features), self.policy.param_dtype
@@ -195,17 +326,27 @@ class DecoderBlock(nn.Module):
 
     deconv_features: int
     res_features: int
+    packed: int = 0
     policy: Policy = Policy()
 
     @nn.compact
     def __call__(self, x, skip, *, train: bool):
-        up = Deconv2x(self.deconv_features, policy=self.policy, name="deconv")(
-            x, target_hw=(skip.shape[1], skip.shape[2])
-        )
-        y = jnp.concatenate([up, skip.astype(up.dtype)], axis=-1)
-        return DoubleResNet(self.res_features, 1, policy=self.policy, name="res")(
-            y, train=train
-        )
+        if self.packed:
+            from ubresnet_tpu.ops.packed import packed_concat
+
+            up = Deconv2x(self.deconv_features, self.packed, self.policy,
+                          name="deconv")(
+                x, target_hw=(skip.shape[1], skip.shape[2] * self.packed)
+            )
+            y = packed_concat(up, skip.astype(up.dtype), self.packed)
+        else:
+            up = Deconv2x(self.deconv_features, policy=self.policy,
+                          name="deconv")(
+                x, target_hw=(skip.shape[1], skip.shape[2])
+            )
+            y = jnp.concatenate([up, skip.astype(up.dtype)], axis=-1)
+        return DoubleResNet(self.res_features, 1, packed=self.packed,
+                            policy=self.policy, name="res")(y, train=train)
 
 
 class ASPP(nn.Module):

@@ -47,44 +47,69 @@ class UResNet(nn.Module):
         cfg = self.config
         pol = self.policy
 
-        # Stem (ub_uresnet.py:41-44): 7x7 biased conv + BN + ReLU, then pool.
-        x0 = ConvBN(
-            cfg.inplanes, 7, 1, use_bias=True, policy=pol, name="stem"
-        )(x.astype(pol.compute_dtype), train=train)
-        y = stem_pool(x0)
+        # W-packed execution of the low-channel high-res stages (stem,
+        # enc1, dec2, dec1, head): see ops/packed.py. Exact same math
+        # and parameters; tensors carry pack_width columns folded into
+        # channels so TPU tiles stay lane-full.
+        p = pol.pack_width
+        use_pack = p > 1 and x.shape[2] % (2 * p) == 0 and cfg.depth == 5
+        if use_pack:
+            from ubresnet_tpu.ops.packed import pack, unpack
+
+        xin = x.astype(pol.compute_dtype)
+        if use_pack:
+            x0 = ConvBN(cfg.inplanes, 7, 1, use_bias=True, packed=p,
+                        policy=pol, name="stem")(pack(xin, p), train=train)
+            y = pack(stem_pool(unpack(x0, p)), p)
+        else:
+            # Stem (ub_uresnet.py:41-44): 7x7 conv + BN + ReLU, pool.
+            x0 = ConvBN(cfg.inplanes, 7, 1, use_bias=True, policy=pol,
+                        name="stem")(xin, train=train)
+            y = stem_pool(x0)
 
         # Encoder: stage i has inplanes * 2^i channels; stride 1 then 2s.
         skips = [x0]
         for i in range(cfg.depth):
             feats = cfg.inplanes * (2 ** (i + 1))
             stride = 1 if i == 0 else 2
-            y = DoubleResNet(feats, stride, policy=pol, name=f"enc{i + 1}")(
-                y, train=train
-            )
+            stage_packed = p if (use_pack and i == 0) else 0
+            y = DoubleResNet(feats, stride, packed=stage_packed, policy=pol,
+                             name=f"enc{i + 1}")(y, train=train)
             skips.append(y)
+            if use_pack and i == 0:
+                y = unpack(y, p)  # deeper stages run unpacked
 
         # Decoder: mirror stages; deconv halves channels, concat skip,
         # DoubleResNet back to the skip's width (ub_uresnet.py:52-56).
         for i in range(cfg.depth, 0, -1):
             feats = cfg.inplanes * (2 ** (i - 1))
-            y = DecoderBlock(feats, feats, policy=pol, name=f"dec{i}")(
-                y, skips[i - 1], train=train
-            )
+            stage_packed = p if (use_pack and i <= 2) else 0
+            if use_pack and i == 2:
+                y = pack(y, p)  # re-enter the packed zone for dec2/dec1
+            y = DecoderBlock(feats, feats, packed=stage_packed, policy=pol,
+                             name=f"dec{i}")(y, skips[i - 1], train=train)
 
         # Head (ub_uresnet.py:58-66): conv10+BN+ReLU, conv11, log-softmax.
-        y = ConvBN(
-            cfg.final_conv_kernels, 7, 1, use_bias=True, policy=pol, name="head"
-        )(y, train=train)
-        y = nn.Conv(
-            cfg.num_classes,
-            (7, 7),
-            padding=[(3, 3), (3, 3)],
-            use_bias=True,
-            kernel_init=_head_init(),
-            dtype=pol.compute_dtype,
-            param_dtype=pol.param_dtype,
-            name="classifier",
-        )(y)
+        y = ConvBN(cfg.final_conv_kernels, 7, 1, use_bias=True,
+                   packed=p if use_pack else 0, policy=pol, name="head")(
+            y, train=train)
+        if use_pack:
+            from ubresnet_tpu.models.blocks import PackedConv
+
+            y = PackedConv(cfg.num_classes, 7, 1, True, p, pol,
+                           name="classifier")(y)
+            y = unpack(y, p)
+        else:
+            y = nn.Conv(
+                cfg.num_classes,
+                (7, 7),
+                padding=[(3, 3), (3, 3)],
+                use_bias=True,
+                kernel_init=_head_init(),
+                dtype=pol.compute_dtype,
+                param_dtype=pol.param_dtype,
+                name="classifier",
+            )(y)
         y = y.astype(pol.output_dtype)
         if logits:
             return y
