@@ -208,6 +208,7 @@ class TrainConfig:
     print_every: int = 20
     checkpoint_dir: str = "checkpoints"
     resume: bool = False
+    max_nan_recoveries: int = 3  # checkpoint rollbacks on NaN loss
     log_dir: Optional[str] = None
     seed: int = 0
     # parallelism

@@ -88,6 +88,38 @@ class WholeViewRunner:
         self._compiled[hw] = (run, grid)
         return self._compiled[hw]
 
+    def make_bboxes(
+        self,
+        image: np.ndarray,
+        randomize: bool = False,
+        n_random: int = 10,
+        min_frac_pixels: float = 0.0,
+        adc_threshold: float = 10.0,
+        rng=None,
+    ):
+        """Tile-origin (row0, col0) sets for an image — the
+        UBSplitDetector bbox-producer role (OutputBBox2DProducer,
+        RandomizeCrops, MinFracPixelsInCrop,
+        run_ubresnet_wholeview.py:35-47). The stitched scoring path
+        always uses the full static grid (coverage is required);
+        this is for crop-level consumers."""
+        from ubresnet_tpu.ops.tiling import filter_occupied, random_grid, tile_grid
+
+        if randomize:
+            grid = random_grid(
+                image.shape[0], image.shape[1], self.tile_rows, self.tile_cols,
+                n_tiles=n_random, rng=rng,
+            )
+        else:
+            grid = tile_grid(
+                image.shape[0], image.shape[1], self.tile_rows, self.tile_cols,
+                self.min_overlap_rows, self.min_overlap_cols,
+            )
+        return filter_occupied(
+            image, grid, self.tile_rows, self.tile_cols, min_frac_pixels,
+            adc_threshold,
+        )
+
     def score_image(self, image: np.ndarray) -> np.ndarray:
         """(h, w) ADC -> (h, w, classes) stitched probabilities."""
         run, _ = self._pipeline(image.shape[:2])

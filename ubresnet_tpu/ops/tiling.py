@@ -16,7 +16,7 @@ constant fields (SURVEY.md §7 hard parts).
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -105,6 +105,48 @@ def stitch_tiles(
             (r, c, 0),
         )
     return acc / jnp.maximum(cnt, 1.0)
+
+
+def random_grid(
+    rows: int,
+    cols: int,
+    tile_rows: int = 512,
+    tile_cols: int = 832,
+    n_tiles: int = 10,
+    rng: Optional[np.random.RandomState] = None,
+    max_tiles: int = 1000,
+) -> Tuple[Tuple[int, int], ...]:
+    """Random tile origins (UBSplitDetector RandomizeCrops /
+    MaxRandomAttempts, run_ubresnet_wholeview.py:44-46). Training-style
+    crop sampling over whole views."""
+    rng = rng or np.random.RandomState()
+    n = min(n_tiles, max_tiles)
+    rs = rng.randint(0, rows - tile_rows + 1, size=n)
+    cs = rng.randint(0, cols - tile_cols + 1, size=n)
+    return tuple((int(r), int(c)) for r, c in zip(rs, cs))
+
+
+def filter_occupied(
+    image: np.ndarray,
+    grid: Sequence[Tuple[int, int]],
+    tile_rows: int,
+    tile_cols: int,
+    min_frac_pixels: float = 0.0,
+    threshold: float = 10.0,
+) -> Tuple[Tuple[int, int], ...]:
+    """Drop tiles whose above-threshold occupancy is below
+    min_frac_pixels (UBSplitDetector MinFracPixelsInCrop,
+    run_ubresnet_wholeview.py:47). Host-side: selection changes tile
+    COUNT, which must stay off the compiled path."""
+    if min_frac_pixels <= 0:
+        return tuple(grid)
+    out = []
+    npx = tile_rows * tile_cols
+    for r, c in grid:
+        occ = (image[r : r + tile_rows, c : c + tile_cols] > threshold).sum()
+        if occ / npx >= min_frac_pixels:
+            out.append((r, c))
+    return tuple(out)
 
 
 def coverage(grid: Sequence[Tuple[int, int]], tile_rows: int, tile_cols: int,

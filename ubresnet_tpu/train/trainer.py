@@ -169,16 +169,46 @@ class Trainer:
         meters = MeterDict()
         best = float(jax.device_get(state.best_metric))
         summary = {}
+        nan_recoveries = 0
         try:
-            start = int(jax.device_get(state.step))
+            it = int(jax.device_get(state.step))
             t_iter = time.time()
-            for it in range(start, cfg.num_iters):
+            while it < cfg.num_iters:
                 t0 = time.time()
                 batch = next(train_iter)
                 t1 = time.time()
                 state, metrics = self.train_step(state, batch)
                 if (it + 1) % cfg.print_every == 0 or it + 1 == cfg.num_iters:
                     metrics = {k: float(v) for k, v in metrics.items()}
+                    # failure detection + elastic recovery: a NaN/inf
+                    # loss rolls back to the last checkpoint instead of
+                    # poisoning the run (beyond the reference, which
+                    # only breaks the loop: wlarcv2:230-251)
+                    if not np.isfinite(metrics["loss"]):
+                        nan_recoveries += 1
+                        if (
+                            nan_recoveries > cfg.max_nan_recoveries
+                            or latest_step(cfg.checkpoint_dir) is None
+                        ):
+                            raise FloatingPointError(
+                                f"non-finite loss at iter {it + 1} "
+                                f"({nan_recoveries} recoveries attempted)"
+                            )
+                        print(
+                            f"non-finite loss at iter {it + 1}; restoring "
+                            f"last checkpoint ({nan_recoveries}/"
+                            f"{cfg.max_nan_recoveries})",
+                            flush=True,
+                        )
+                        state = restore_checkpoint(cfg.checkpoint_dir, state)
+                        if self.mesh is not None:
+                            from ubresnet_tpu.parallel import shard_state
+
+                            state = shard_state(
+                                state, self.mesh, self.cfg.tp_min_features
+                            )
+                        it = int(jax.device_get(state.step))
+                        continue
                     t2 = time.time()
                     meters.update(metrics)
                     meters.update(
@@ -207,6 +237,7 @@ class Trainer:
 
                 if (it + 1) % cfg.checkpoint_every == 0:
                     save_checkpoint(cfg.checkpoint_dir, state)
+                it += 1
         except Exception:
             # contain, checkpoint, re-raise context in summary
             # (reference breaks the loop and saves, wlarcv2:230-251)
