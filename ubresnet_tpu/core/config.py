@@ -144,6 +144,9 @@ class DataConfig:
     class_map: Optional[List[int]] = None
     adc_threshold: float = 0.0
     native: bool = True  # C++ filler when built; falls back to Python
+    # sparse COO host->device transfer (ops/sparse.py); 0 = dense.
+    # Big win for zero-suppressed images; capacities bucketed to this.
+    sparse_bucket: int = 0
 
     @staticmethod
     def from_pset(pset: Dict[str, Any], role: str = "train") -> "DataConfig":

@@ -16,7 +16,6 @@ surface:
 """
 from __future__ import annotations
 
-import collections
 import queue
 import threading
 from typing import Callable, Dict, List, Optional, Sequence, Union
@@ -204,22 +203,55 @@ class BatchLoader:
 class DevicePrefetcher:
     """Keep `depth` batches in flight on device.
 
-    jax.device_put dispatches the H2D copy asynchronously; holding a
-    small deque overlaps the next batch's transfer with the current
-    step's compute — the double-buffering the reference lacked (its
-    loader left GPUs at 0% util, grid_scripts/README.md).
+    A background thread pulls host batches, optionally converts them to
+    the sparse COO transfer form (ops/sparse.py), and dispatches the
+    async H2D copy — so neither host prep nor transfer ever sits on the
+    training thread (the reference's loader left GPUs at 0% util,
+    grid_scripts/README.md).
     """
 
-    def __init__(self, source, mesh=None, depth: int = 2, drop_keys=("rse",)):
+    def __init__(self, source, mesh=None, depth: int = 2, drop_keys=("rse",),
+                 sparse_bucket: int = 0):
         self.source = iter(source)
         self.mesh = mesh
         self.depth = depth
         self.drop_keys = drop_keys
+        self.sparse_bucket = sparse_bucket
+        self.hw = None
+        self._caps = {}
+
+    def _sparsify(self, batch):
+        """Sparse COO transfer form (ops/sparse.py) with sticky, grow-
+        only capacities so compiled step shapes stay stable."""
+        import numpy as np
+
+        from ubresnet_tpu.ops.sparse import sparsify_batch
+
+        sp = sparsify_batch(batch, bucket=self.sparse_bucket)
+        self.hw = sp.pop("hw")
+        for key in ("img", "lab", "wgt"):
+            ik, vk = f"{key}_idx", f"{key}_val"
+            k = sp[ik].shape[1]
+            if key not in self._caps:
+                # 50% first-batch headroom: step recompiles (expensive
+                # on TPU) only if later batches exceed it
+                k = int(k * 1.5)
+            from ubresnet_tpu.ops.sparse import round_capacity
+
+            cap = max(self._caps.get(key, 0), round_capacity(k, self.sparse_bucket))
+            self._caps[key] = cap
+            if k < cap:
+                pad = cap - k
+                sp[ik] = np.pad(sp[ik], ((0, 0), (0, pad)))
+                sp[vk] = np.pad(sp[vk], ((0, 0), (0, pad)))
+        return sp
 
     def _put(self, batch):
         import jax
 
         batch = {k: v for k, v in batch.items() if k not in self.drop_keys}
+        if self.sparse_bucket:
+            batch = self._sparsify(batch)
         if self.mesh is None:
             return jax.device_put(batch)
         from ubresnet_tpu.parallel import shard_batch
@@ -227,10 +259,31 @@ class DevicePrefetcher:
         return shard_batch(batch, self.mesh)
 
     def __iter__(self):
-        buf = collections.deque()
-        for batch in self.source:
-            buf.append(self._put(batch))
-            if len(buf) >= self.depth:
-                yield buf.popleft()
-        while buf:
-            yield buf.popleft()
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+        DONE = object()
+
+        def feeder():
+            try:
+                for batch in self.source:
+                    if stop.is_set():
+                        return
+                    q.put(self._put(batch))
+            finally:
+                q.put(DONE)
+
+        t = threading.Thread(target=feeder, daemon=True, name="prefetch")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is DONE:
+                    return
+                yield item
+        finally:
+            stop.set()
+            # unblock a feeder stuck on put()
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass

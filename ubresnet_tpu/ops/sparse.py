@@ -67,6 +67,77 @@ def densify(indices: jax.Array, values: jax.Array, hw: Tuple[int, int]) -> jax.A
     return dense.reshape(b, h, w, 1)
 
 
+def _coo_rows(flat: np.ndarray, bucket: int, dtype) -> tuple:
+    """Vectorized batch COO: (b, n) → idx (b, K) int32, val (b, K).
+    K = per-batch max nnz rounded to the bucket; rows that would
+    overflow an externally-smaller capacity are truncated by callers.
+    """
+    b = flat.shape[0]
+    rows, cols = np.nonzero(flat)
+    counts = np.bincount(rows, minlength=b)
+    k = round_capacity(int(counts.max()) if len(rows) else 0, bucket)
+    starts = np.cumsum(counts) - counts
+    slots = np.arange(len(rows)) - np.repeat(starts, counts)
+    idx = np.zeros((b, k), np.int32)
+    val = np.zeros((b, k), dtype)
+    idx[rows, slots] = cols
+    val[rows, slots] = flat[rows, cols]
+    return idx, val
+
+
+def sparsify_batch(batch: dict, bucket: int = 2048) -> dict:
+    """Training batch {image (b,h,w,1), label (b,h,w), weight (b,h,w)}
+    → sparse transfer form. Labels ship as COO over nonzero classes;
+    weights ship as a per-image base value (the background level —
+    class balancing gives all background pixels one weight) plus a COO
+    residual. At LArTPC occupancies this cuts training H2D bytes
+    ~10-40x. Fully vectorized (runs on prefetch threads).
+    """
+    img = np.ascontiguousarray(batch["image"][..., 0])
+    lab = batch["label"]
+    wgt = batch["weight"]
+    b, h, w = img.shape
+    out = {"hw": (h, w)}
+
+    flat = img.reshape(b, -1)
+    out["img_idx"], out["img_val"] = _coo_rows(flat, bucket, np.float32)
+    out["lab_idx"], out["lab_val"] = _coo_rows(
+        lab.reshape(b, -1), bucket, np.int32
+    )
+
+    wflat = wgt.reshape(b, -1).astype(np.float32)
+    # base = weight of the first zero-ADC (background) pixel per image;
+    # falls back to the row median when an image has no empty pixel
+    bg = flat == 0
+    has_bg = bg.any(axis=1)
+    first_bg = bg.argmax(axis=1)
+    base = wflat[np.arange(b), first_bg]
+    if not has_bg.all():
+        med = np.median(wflat[~has_bg], axis=1)
+        base = np.where(has_bg, base, 0.0)
+        base[~has_bg] = med
+    resid = wflat - base[:, None]
+    resid[np.abs(resid) < 1e-12] = 0.0
+    out["wgt_base"] = base.astype(np.float32)
+    out["wgt_idx"], out["wgt_val"] = _coo_rows(resid, bucket, np.float32)
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def densify_batch(sp: dict, hw: Tuple[int, int]) -> dict:
+    """Sparse transfer form → dense {image, label, weight} on device."""
+    h, w = hw
+    image = densify(sp["img_idx"], sp["img_val"], hw)
+    b = image.shape[0]
+    lab = jax.vmap(lambda i, v: jnp.zeros((h * w,), jnp.int32).at[i].max(v))(
+        sp["lab_idx"], sp["lab_val"]
+    ).reshape(b, h, w)
+    wgt = jax.vmap(lambda i, v: jnp.zeros((h * w,), jnp.float32).at[i].add(v))(
+        sp["wgt_idx"], sp["wgt_val"]
+    ).reshape(b, h, w) + sp["wgt_base"][:, None, None]
+    return {"image": image, "label": lab, "weight": wgt}
+
+
 def sparse_forward_fn(model):
     """Jitted (variables, indices, values) → probabilities, with the
     densify fused into the same XLA program as the network."""

@@ -72,6 +72,7 @@ def build_train_step(
     class_weights: Optional[jax.Array] = None,
     donate: bool = True,
     use_pallas_loss: bool = False,
+    sparse_hw: Optional[tuple] = None,
 ):
     """Returns jitted train_step(state, batch) -> (state, metrics).
 
@@ -97,6 +98,13 @@ def build_train_step(
         )
 
     def step(state: TrainState, batch):
+        if sparse_hw is not None:
+            # batch arrived in sparse COO transfer form; densify on
+            # device inside the compiled step (ops/sparse.py)
+            from ubresnet_tpu.ops.sparse import densify_batch
+
+            batch = densify_batch(batch, tuple(sparse_hw))
+
         def loss_fn(params):
             logits, updates = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},

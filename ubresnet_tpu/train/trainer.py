@@ -158,14 +158,30 @@ class Trainer:
             if cfg.valid_data
             else None
         )
-        train_iter = iter(DevicePrefetcher(train_loader, mesh=self.mesh))
+        prefetcher = DevicePrefetcher(
+            train_loader, mesh=self.mesh,
+            sparse_bucket=cfg.train_data.sparse_bucket,
+        )
+        train_iter = iter(prefetcher)
+        # validation stays on the dense path (infrequent)
         valid_iter = (
             iter(DevicePrefetcher(valid_loader, mesh=self.mesh))
             if valid_loader
             else None
         )
 
-        state = self._init_state(next(train_iter)["image"][:1])
+        first = next(train_iter)
+        if cfg.train_data.sparse_bucket:
+            hw = prefetcher.hw
+            example = jax.numpy.zeros(
+                (1, hw[0], hw[1], self.cfg.model.input_channels)
+            )
+            self.train_step = build_train_step(
+                num_classes=cfg.model.num_classes, sparse_hw=hw
+            )
+        else:
+            example = first["image"][:1]
+        state = self._init_state(example)
         meters = MeterDict()
         best = float(jax.device_get(state.best_metric))
         summary = {}
