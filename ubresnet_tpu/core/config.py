@@ -212,6 +212,7 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     resume: bool = False
     max_nan_recoveries: int = 3  # checkpoint rollbacks on NaN loss
+    remat: bool = False  # jax.checkpoint the forward (memory for FLOPs)
     log_dir: Optional[str] = None
     seed: int = 0
     # parallelism

@@ -32,12 +32,51 @@ class PrecroppedRunner:
         variables,
         batch_size: int = 8,
         adc_threshold: Optional[float] = None,
+        sparse: bool = True,
+        sparse_bucket: int = 4096,
     ):
         self.model = model
         self.variables = variables
         self.batch_size = batch_size
         self.adc_threshold = adc_threshold
+        self.sparse = sparse
+        self.sparse_bucket = sparse_bucket
+        self._cap = 0
         self._fwd = jax.jit(lambda v, x: jnp.exp(model.apply(v, x)))
+        if sparse:
+            from ubresnet_tpu.ops.sparse import sparse_forward_fn
+
+            self._fwd_sparse = sparse_forward_fn(model)
+
+    def _forward(self, batch: np.ndarray) -> np.ndarray:
+        """(b, h, w, 1) host batch → (b, h, w, c) probabilities.
+
+        Sparse mode ships COO nonzeros and densifies on-device
+        (ops/sparse.py) — the H2D bytes drop ~50x on zero-suppressed
+        images. Capacity is sticky so the program compiles once.
+        """
+        if self.adc_threshold:
+            batch = np.where(batch < self.adc_threshold, 0.0, batch)
+        if not self.sparse:
+            return np.asarray(
+                jax.device_get(self._fwd(self.variables, jnp.asarray(batch)))
+            )
+        from ubresnet_tpu.ops.sparse import sparsify
+
+        sp = sparsify(batch[..., 0], bucket=self.sparse_bucket)
+        k = sp["indices"].shape[1]
+        self._cap = max(self._cap, k)
+        if k < self._cap:
+            pad = self._cap - k
+            sp["indices"] = np.pad(sp["indices"], ((0, 0), (0, pad)))
+            sp["values"] = np.pad(sp["values"], ((0, 0), (0, pad)))
+        out = self._fwd_sparse(
+            self.variables,
+            jax.device_put(sp["indices"]),
+            jax.device_put(sp["values"]),
+            batch.shape[1:3],
+        )
+        return np.asarray(jax.device_get(out))
 
     def run(
         self,
@@ -77,8 +116,7 @@ class PrecroppedRunner:
             pad = self.batch_size - batch.shape[0]
             if pad:
                 batch = np.concatenate([batch, np.zeros_like(batch[:pad])])
-            scores = self._fwd(self.variables, jnp.asarray(batch))
-            scores = np.asarray(jax.device_get(scores))
+            scores = self._forward(batch)
             if pad:
                 scores = scores[: len(images)]
             timing["forward"] += time.time() - t0

@@ -43,6 +43,8 @@ class WholeViewRunner:
         min_overlap_rows: int = 16,
         min_overlap_cols: int = 176,
         crop_batch: int = 10,
+        sparse: bool = True,
+        sparse_bucket: int = 8192,
     ):
         self.model = model
         self.variables = variables
@@ -51,12 +53,18 @@ class WholeViewRunner:
         self.min_overlap_rows = min_overlap_rows
         self.min_overlap_cols = min_overlap_cols
         self.crop_batch = crop_batch
+        self.sparse = sparse
+        self.sparse_bucket = sparse_bucket
+        self._cap = 0
         self._compiled = {}
 
-    def _pipeline(self, hw: Tuple[int, int]):
-        """Jitted split→forward→stitch for a given whole-image size."""
-        if hw in self._compiled:
-            return self._compiled[hw]
+    def _pipeline(self, hw: Tuple[int, int], cap: int = 0):
+        """Jitted split→forward→stitch for a whole-image size; when
+        ``cap > 0`` the program takes a COO (indices, values) pair and
+        densifies on device first. Cached per (hw, cap)."""
+        key = (hw, cap)
+        if key in self._compiled:
+            return self._compiled[key]
         grid = tile_grid(
             hw[0],
             hw[1],
@@ -69,8 +77,7 @@ class WholeViewRunner:
         # pad tile count to a multiple of crop_batch for static shapes
         n_pad = (-n_tiles) % self.crop_batch
 
-        @jax.jit
-        def run(variables, image):
+        def body(variables, image):
             tiles = extract_tiles(image, grid, self.tile_rows, self.tile_cols)
             if n_pad:
                 tiles = jnp.concatenate(
@@ -85,8 +92,21 @@ class WholeViewRunner:
             scores = scores.reshape(-1, *scores.shape[2:])[:n_tiles]
             return stitch_tiles(scores, grid, hw)
 
-        self._compiled[hw] = (run, grid)
-        return self._compiled[hw]
+        if cap:
+            from ubresnet_tpu.ops.sparse import densify
+
+            @jax.jit
+            def run(variables, idx, val):
+                return body(variables, densify(idx, val, hw)[0])
+
+        else:
+
+            @jax.jit
+            def run(variables, image):
+                return body(variables, image)
+
+        self._compiled[key] = (run, grid)
+        return self._compiled[key]
 
     def make_bboxes(
         self,
@@ -121,9 +141,30 @@ class WholeViewRunner:
         )
 
     def score_image(self, image: np.ndarray) -> np.ndarray:
-        """(h, w) ADC -> (h, w, classes) stitched probabilities."""
-        run, _ = self._pipeline(image.shape[:2])
-        out = run(self.variables, jnp.asarray(image, jnp.float32)[..., None])
+        """(h, w) ADC -> (h, w, classes) stitched probabilities.
+
+        Sparse mode ships the whole plane as COO nonzeros (a 1008x3456
+        view is ~14 MB dense, typically <1% occupied) and densifies
+        on-device before the split→score→stitch program."""
+        if not self.sparse:
+            run, _ = self._pipeline(image.shape[:2])
+            out = run(self.variables, jnp.asarray(image, jnp.float32)[..., None])
+            return np.asarray(jax.device_get(out))
+        from ubresnet_tpu.ops.sparse import sparsify
+
+        sp = sparsify(image[None].astype(np.float32), bucket=self.sparse_bucket)
+        k = sp["indices"].shape[1]
+        self._cap = max(self._cap, k)
+        if k < self._cap:
+            pad = self._cap - k
+            sp["indices"] = np.pad(sp["indices"], ((0, 0), (0, pad)))
+            sp["values"] = np.pad(sp["values"], ((0, 0), (0, pad)))
+        run, _ = self._pipeline(image.shape[:2], cap=self._cap)
+        out = run(
+            self.variables,
+            jax.device_put(sp["indices"]),
+            jax.device_put(sp["values"]),
+        )
         return np.asarray(jax.device_get(out))
 
     def run(

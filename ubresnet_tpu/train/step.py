@@ -73,6 +73,7 @@ def build_train_step(
     donate: bool = True,
     use_pallas_loss: bool = False,
     sparse_hw: Optional[tuple] = None,
+    remat: bool = False,
 ):
     """Returns jitted train_step(state, batch) -> (state, metrics).
 
@@ -105,14 +106,24 @@ def build_train_step(
 
             batch = densify_batch(batch, tuple(sparse_hw))
 
-        def loss_fn(params):
-            logits, updates = state.apply_fn(
+        def fwd(params, image):
+            return state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["image"],
+                image,
                 train=True,
                 logits=True,
                 mutable=["batch_stats"],
             )
+
+        if remat:
+            # rematerialize the forward on the backward pass — trades
+            # ~1/3 more FLOPs for activation memory (jax.checkpoint),
+            # enabling large batches at 512x512 (the reference filled
+            # a 16 GB P100 at batch 4, SURVEY.md §6)
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(params):
+            logits, updates = fwd(params, batch["image"])
             loss = loss_impl(logits, batch["label"], batch["weight"])
             return loss, (logits, updates["batch_stats"])
 

@@ -134,7 +134,8 @@ class Trainer:
                 )
             self.mesh = make_mesh(devs, model_axis=cfg.model_axis)
         self.writer = ScalarWriter(cfg.log_dir)
-        self.train_step = build_train_step(num_classes=cfg.model.num_classes)
+        self.train_step = build_train_step(num_classes=cfg.model.num_classes,
+                                           remat=cfg.remat)
         self.eval_step = build_eval_step(num_classes=cfg.model.num_classes)
 
     def _init_state(self, example):
@@ -177,7 +178,8 @@ class Trainer:
                 (1, hw[0], hw[1], self.cfg.model.input_channels)
             )
             self.train_step = build_train_step(
-                num_classes=cfg.model.num_classes, sparse_hw=hw
+                num_classes=cfg.model.num_classes, sparse_hw=hw,
+                remat=cfg.remat,
             )
         else:
             example = first["image"][:1]
