@@ -19,6 +19,8 @@ def main(argv=None):
     ap.add_argument("--adc-producer", default="wire")
     ap.add_argument("--adc-threshold", type=float, default=10.0)
     ap.add_argument("-n", "--nevents", type=int, default=None)
+    ap.add_argument("--dump-dir", default=None,
+                    help="write colormapped ADC/score/diff PNGs here")
     args = ap.parse_args(argv)
 
     from ubresnet_tpu.parity import compare_score_files
@@ -32,6 +34,7 @@ def main(argv=None):
         adc_producer=args.adc_producer,
         adc_threshold=args.adc_threshold,
         n_entries=args.nevents,
+        dump_dir=args.dump_dir,
     )
     print(json.dumps(metrics, indent=2))
     return 0

@@ -47,11 +47,36 @@ def main(argv=None):
     )
     ap.add_argument("--dump-config", action="store_true",
                     help="print the resolved config and exit")
+    ap.add_argument("--debug-dump", default=None, metavar="DIR",
+                    help="dump one batch as ADC/label/weight PNGs and exit "
+                         "(the reference's debug fixture, "
+                         "train_ubresnet2018_wlarcv2.py:188-207)")
     args = ap.parse_args(argv)
 
     cfg = apply_overrides(TrainConfig.load(args.config), args.overrides)
     if args.dump_config:
         print(cfg.to_json())
+        return 0
+    if args.debug_dump:
+        import os
+
+        from ubresnet_tpu.train.trainer import make_loader
+        from ubresnet_tpu.utils.png import save_heatmap
+
+        os.makedirs(args.debug_dump, exist_ok=True)
+        loader = make_loader(cfg.train_data, seed=cfg.seed).start()
+        try:
+            batch = loader[0]
+        finally:
+            loader.stop()
+        for i in range(batch["image"].shape[0]):
+            save_heatmap(os.path.join(args.debug_dump, f"adc_{i}.png"),
+                         batch["image"][i, ..., 0])
+            save_heatmap(os.path.join(args.debug_dump, f"label_{i}.png"),
+                         batch["label"][i], 0, cfg.model.num_classes - 1)
+            save_heatmap(os.path.join(args.debug_dump, f"weight_{i}.png"),
+                         batch["weight"][i])
+        print(f"dumped {batch['image'].shape[0]} samples to {args.debug_dump}")
         return 0
     from ubresnet_tpu.train.trainer import train
 

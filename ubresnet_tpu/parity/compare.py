@@ -49,9 +49,13 @@ def compare_score_files(
     adc_producer: str = "wire",
     adc_threshold: float = 10.0,
     n_entries: Optional[int] = None,
+    dump_dir: Optional[str] = None,
 ) -> Dict[str, float]:
     """Entry-by-entry comparison of two score files; returns metric
-    means over entries (the compare_caffe_to_tf.py loop)."""
+    means over entries (the compare_caffe_to_tf.py loop). When
+    dump_dir is set, writes colormapped ADC/score/|diff| PNGs per
+    entry (the reference's cv2 dumps, tf/compare_caffe_to_tf.py:
+    101-121)."""
     ra, rb = EventFileReader(file_a), EventFileReader(file_b)
     radc = EventFileReader(adc_file) if adc_file else None
     n = min(len(ra), len(rb))
@@ -68,4 +72,21 @@ def compare_score_files(
         m = score_diff(sa, sb, adc, adc_threshold)
         for k, v in m.items():
             acc.setdefault(k, []).append(v)
+        if dump_dir:
+            import os
+
+            from ubresnet_tpu.utils.png import save_heatmap
+
+            os.makedirs(dump_dir, exist_ok=True)
+            if adc is not None:
+                save_heatmap(os.path.join(dump_dir, f"entry{i}_adc.png"), adc)
+            for c, (pa, pb) in enumerate(zip(sa, sb)):
+                save_heatmap(
+                    os.path.join(dump_dir, f"entry{i}_class{c}_a.png"),
+                    pa, 0.0, 1.0,
+                )
+                save_heatmap(
+                    os.path.join(dump_dir, f"entry{i}_class{c}_diff.png"),
+                    np.abs(pa - pb), 0.0, 1.0,
+                )
     return {k: float(np.mean(v)) for k, v in acc.items()} | {"n_entries": float(n)}
