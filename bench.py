@@ -29,8 +29,8 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(HERE, "bench_baseline.json")
 
 HW = 512
-BATCH = 16
-ITERS = 30
+BATCH = 64
+ITERS = 15
 INPLANES = 16
 
 
