@@ -161,3 +161,22 @@ def test_remap_labels():
         remap_labels(raw, DEFAULT_CLASS_MAP_10TO3), [0, 2, 1, 1]
     )
     np.testing.assert_array_equal(remap_labels(raw, None), raw)
+
+
+def test_uevt_uint16_dtype(tmp_path, rng):
+    """uint16 ADC payloads roundtrip (reader decodes to float32)."""
+    path = str(tmp_path / "u16.uevt")
+    meta = ImageMeta(0.0, 0.0, 16.0, 16.0, 16, 16)
+    arr = (rng.rand(16, 16) * 4000).astype(np.uint16)
+    with EventFileWriter(path) as w:
+        w.append("wire", Image2D(arr, meta))
+        w.save_entry()
+    got = EventFileReader(path).read_entry(0)["wire"][0]
+    assert got.pixels.dtype == np.uint16
+    np.testing.assert_array_equal(got.pixels, arr)
+    # native reader decodes to f32
+    from ubresnet_tpu.data import native
+
+    if native.native_available():
+        nat = native.NativeEventFile(path).read_image(0, "wire")
+        np.testing.assert_array_equal(nat.pixels, arr.astype(np.float32))
