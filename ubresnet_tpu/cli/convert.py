@@ -28,7 +28,6 @@ then convert here:  python -m ubresnet_tpu.cli.convert events.npz events.uevt
 from __future__ import annotations
 
 import argparse
-import re
 from collections import defaultdict
 
 import numpy as np

@@ -25,7 +25,8 @@ def load_model_and_variables(args):
 
     from ubresnet_tpu.core.config import TrainConfig
     from ubresnet_tpu.models import get_model
-    from ubresnet_tpu.train import create_train_state, make_optimizer, restore_checkpoint
+    from ubresnet_tpu.train import create_train_state, restore_checkpoint
+    from ubresnet_tpu.train.optimizers import optimizer_from_config
 
     cfg = TrainConfig.load(args.config)
     model = get_model(
@@ -35,11 +36,13 @@ def load_model_and_variables(args):
         input_channels=cfg.model.input_channels,
         inplanes=cfg.model.inplanes,
     )
+    # the optimizer must match training's so the checkpointed opt_state
+    # tree structure restores (we only keep params/batch_stats after)
     state = create_train_state(
         model,
         jax.random.PRNGKey(0),
         jax.numpy.zeros((1, 64, 64, cfg.model.input_channels)),
-        make_optimizer(),
+        optimizer_from_config(cfg.optim),
     )
     state = restore_checkpoint(args.checkpoint, state, best=args.best)
     return model, {"params": state.params, "batch_stats": state.batch_stats}

@@ -12,7 +12,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, Optional, Sequence, Union
 
 import numpy as np
 

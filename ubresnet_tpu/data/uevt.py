@@ -20,7 +20,6 @@ Layout:
 """
 from __future__ import annotations
 
-import os
 import struct
 from typing import Dict, List, Optional, Sequence, Tuple
 

@@ -19,7 +19,6 @@ final stitched scores return to the host.
 """
 from __future__ import annotations
 
-import functools
 import time
 from collections import OrderedDict
 from typing import Optional, Sequence, Tuple

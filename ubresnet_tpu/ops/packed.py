@@ -27,7 +27,6 @@ is negligible next to the conv.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

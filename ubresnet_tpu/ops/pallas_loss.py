@@ -15,8 +15,6 @@ Falls back to the jnp implementation off-TPU or for unaligned widths.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

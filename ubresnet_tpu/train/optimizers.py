@@ -40,3 +40,23 @@ def make_optimizer(
     else:
         parts.append(optax.scale(-learning_rate))
     return optax.chain(*parts)
+
+
+def optimizer_from_config(optim_cfg) -> optax.GradientTransformation:
+    """Build the optimizer exactly as training does (OptimConfig) — the
+    opt_state tree structure must match for orbax checkpoint restore,
+    so deploy-side loading reuses this."""
+    from ubresnet_tpu.train.schedules import make_schedule
+
+    schedule = make_schedule(
+        optim_cfg.schedule,
+        base_lr=optim_cfg.lr,
+        decay_factor=optim_cfg.decay_factor,
+        decay_every=optim_cfg.decay_every,
+    )
+    return make_optimizer(
+        optim_cfg.name,
+        learning_rate=schedule,
+        weight_decay=optim_cfg.weight_decay,
+        momentum=optim_cfg.momentum,
+    )

@@ -16,8 +16,6 @@ import functools
 import sys
 import time
 import traceback
-from typing import Optional
-
 import jax
 import numpy as np
 
@@ -34,8 +32,6 @@ from ubresnet_tpu.train.checkpoint import (
 )
 from ubresnet_tpu.train.logging import ScalarWriter
 from ubresnet_tpu.train.metrics import MeterDict
-from ubresnet_tpu.train.optimizers import make_optimizer
-from ubresnet_tpu.train.schedules import make_schedule
 from ubresnet_tpu.train.step import (
     build_eval_step,
     build_train_step,
@@ -105,18 +101,9 @@ class Trainer:
             input_channels=cfg.model.input_channels,
             inplanes=cfg.model.inplanes,
         )
-        schedule = make_schedule(
-            cfg.optim.schedule,
-            base_lr=cfg.optim.lr,
-            decay_factor=cfg.optim.decay_factor,
-            decay_every=cfg.optim.decay_every,
-        )
-        self.tx = make_optimizer(
-            cfg.optim.name,
-            learning_rate=schedule,
-            weight_decay=cfg.optim.weight_decay,
-            momentum=cfg.optim.momentum,
-        )
+        from ubresnet_tpu.train.optimizers import optimizer_from_config
+
+        self.tx = optimizer_from_config(cfg.optim)
         self.mesh = mesh
         if mesh is None and (cfg.model_axis > 1 or len(jax.devices()) > 1):
             # data-axis size must divide the global batch; use the
