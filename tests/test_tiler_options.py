@@ -38,11 +38,17 @@ def test_filter_occupied():
 
 
 def test_trainer_nan_recovery(tmp_path):
-    """A poisoned batch triggers rollback to the last checkpoint."""
+    """A poisoned batch at a NON-print iteration is skipped on-device:
+    params stay clean, the subsequent checkpoint is finite, training
+    completes. print_every=3 > checkpoint_every=2 is the exact ordering
+    that raced the old host-side rollback (a NaN at iter 4 was saved at
+    checkpoint 4 before the print-boundary check at iter 6 noticed)."""
     import jax
+    import numpy as np
 
     from ubresnet_tpu.core.config import TrainConfig
     from ubresnet_tpu.data import make_synthetic_file
+    from ubresnet_tpu.train.checkpoint import restore_checkpoint
     from ubresnet_tpu.train.trainer import Trainer
 
     data = make_synthetic_file(str(tmp_path / "d.uevt"), n_events=4, hw=(32, 32))
@@ -53,13 +59,14 @@ def test_trainer_nan_recovery(tmp_path):
             "train_data": {"files": [data], "batch_size": 2},
             "num_iters": 6,
             "checkpoint_every": 2,
-            "print_every": 1,
+            "print_every": 3,
             "checkpoint_dir": str(tmp_path / "ckpt"),
             "model_axis": 1,
         }
     )
     trainer = Trainer(cfg, mesh=None)
-    # poison iteration 4's batch with NaN images
+    # poison iteration 4's batch with NaN images (iter 4: not a print
+    # boundary, immediately followed by a periodic checkpoint)
     real_step = trainer.train_step
     calls = {"n": 0}
 
@@ -73,3 +80,43 @@ def test_trainer_nan_recovery(tmp_path):
     summary = trainer.run()
     assert "error" not in summary, summary.get("error")
     assert summary["final_iter"] >= 6
+    assert summary["nan_steps_skipped"] == 1
+    # the checkpoint written right after the poisoned step must be clean
+    restored = restore_checkpoint(cfg.checkpoint_dir, trainer._init_state(
+        jax.numpy.zeros((1, 32, 32, 1))), step=4)
+    for leaf in jax.tree_util.tree_leaves(restored.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_trainer_nan_abort(tmp_path):
+    """Persistent non-finite batches exceed max_nan_recoveries → abort
+    (contained as summary['error'], with a final clean checkpoint)."""
+    from ubresnet_tpu.core.config import TrainConfig
+    from ubresnet_tpu.data import make_synthetic_file
+    from ubresnet_tpu.train.trainer import Trainer
+
+    data = make_synthetic_file(str(tmp_path / "d.uevt"), n_events=4, hw=(32, 32))
+    cfg = TrainConfig.from_dict(
+        {
+            "model": {"inplanes": 2, "precision": "f32"},
+            "optim": {"lr": 1e-3},
+            "train_data": {"files": [data], "batch_size": 2},
+            "num_iters": 8,
+            "checkpoint_every": 100,
+            "print_every": 1,
+            "max_nan_recoveries": 2,
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "model_axis": 1,
+        }
+    )
+    trainer = Trainer(cfg, mesh=None)
+    real_step = trainer.train_step
+
+    def wrapped(state, batch):
+        batch = dict(batch, image=batch["image"] * float("nan"))
+        return real_step(state, batch)
+
+    trainer.train_step = wrapped
+    summary = trainer.run()
+    assert "error" in summary
+    assert "non-finite" in summary["error"]

@@ -211,7 +211,7 @@ class TrainConfig:
     print_every: int = 20
     checkpoint_dir: str = "checkpoints"
     resume: bool = False
-    max_nan_recoveries: int = 3  # checkpoint rollbacks on NaN loss
+    max_nan_recoveries: int = 3  # non-finite steps skipped before abort
     remat: bool = False  # jax.checkpoint the forward (memory for FLOPs)
     log_dir: Optional[str] = None
     seed: int = 0

@@ -115,7 +115,9 @@ class PrecroppedRunner:
             # pad the tail batch to the compiled shape (static shapes)
             pad = self.batch_size - batch.shape[0]
             if pad:
-                batch = np.concatenate([batch, np.zeros_like(batch[:pad])])
+                batch = np.concatenate(
+                    [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)]
+                )
             scores = self._forward(batch)
             if pad:
                 scores = scores[: len(images)]

@@ -67,6 +67,7 @@ def shard_state(state, mesh: Mesh, min_features: int = 256):
         ),
         opt_state=jax.device_put(state.opt_state, opt_sh),
         best_metric=jax.device_put(state.best_metric, repl),
+        nan_count=jax.device_put(state.nan_count, repl),
     )
 
 

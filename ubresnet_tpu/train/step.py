@@ -36,6 +36,9 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     best_metric: jax.Array
+    # cumulative count of update steps skipped by the on-device
+    # non-finite guard (not part of the checkpoint payload)
+    nan_count: jax.Array
 
     apply_fn: Callable = struct.field(pytree_node=False)
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
@@ -62,6 +65,7 @@ def create_train_state(
         batch_stats=batch_stats,
         opt_state=tx.init(params),
         best_metric=jnp.zeros((), jnp.float32),
+        nan_count=jnp.zeros((), jnp.int32),
         apply_fn=model.apply,
         tx=tx,
     )
@@ -132,13 +136,33 @@ def build_train_step(
         )(state.params)
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+
+        # On-device non-finite guard: a NaN/inf loss or gradient skips
+        # the whole update (params/opt_state/batch_stats keep their old
+        # values) so poisoned state can never be checkpointed — checked
+        # EVERY iteration, unlike the reference which only notices at
+        # print boundaries (train_ubresnet2018_wlarcv2.py:353-376).
+        ok = jax.tree_util.tree_reduce(
+            lambda a, g: jnp.logical_and(a, jnp.all(jnp.isfinite(g))),
+            grads,
+            jnp.isfinite(loss),
+        )
+
+        def guard(new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new, old
+            )
+
         metrics = {"loss": loss}
         metrics.update(pixel_accuracy(logits, batch["label"], num_classes))
+        new_nan_count = state.nan_count + jnp.where(ok, 0, 1).astype(jnp.int32)
+        metrics["nan_skipped"] = new_nan_count
         new_state = state.replace(
             step=state.step + 1,
-            params=new_params,
-            batch_stats=new_stats,
-            opt_state=new_opt,
+            params=guard(new_params, state.params),
+            batch_stats=guard(new_stats, state.batch_stats),
+            opt_state=guard(new_opt, state.opt_state),
+            nan_count=new_nan_count,
         )
         return new_state, metrics
 

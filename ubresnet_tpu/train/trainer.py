@@ -185,49 +185,43 @@ class Trainer:
                 state, metrics = self.train_step(state, batch)
                 if (it + 1) % cfg.print_every == 0 or it + 1 == cfg.num_iters:
                     metrics = {k: float(v) for k, v in metrics.items()}
-                    # failure detection + elastic recovery: a NaN/inf
-                    # loss rolls back to the last checkpoint instead of
-                    # poisoning the run (beyond the reference, which
-                    # only breaks the loop: wlarcv2:230-251)
-                    if not np.isfinite(metrics["loss"]):
-                        nan_recoveries += 1
-                        if (
-                            nan_recoveries > cfg.max_nan_recoveries
-                            or latest_step(cfg.checkpoint_dir) is None
-                        ):
-                            raise FloatingPointError(
-                                f"non-finite loss at iter {it + 1} "
-                                f"({nan_recoveries} recoveries attempted)"
-                            )
+                    # failure detection: the train step guards every
+                    # update on-device (non-finite loss/grads skip the
+                    # whole update, step.py), so poisoned state can
+                    # never be checkpointed; here we only surface the
+                    # cumulative skip count and abort when the run is
+                    # clearly stuck (beyond the reference, which only
+                    # breaks the loop: wlarcv2:230-251).
+                    skipped = int(metrics.pop("nan_skipped"))
+                    if skipped > nan_recoveries:
                         print(
-                            f"non-finite loss at iter {it + 1}; restoring "
-                            f"last checkpoint ({nan_recoveries}/"
+                            f"non-finite loss/grads: "
+                            f"{skipped - nan_recoveries} step(s) skipped "
+                            f"on-device (total {skipped}/"
                             f"{cfg.max_nan_recoveries})",
                             flush=True,
                         )
-                        state = restore_checkpoint(cfg.checkpoint_dir, state)
-                        if self.mesh is not None:
-                            from ubresnet_tpu.parallel import shard_state
-
-                            state = shard_state(
-                                state, self.mesh, self.cfg.tp_min_features
+                        nan_recoveries = skipped
+                        if skipped > cfg.max_nan_recoveries:
+                            raise FloatingPointError(
+                                f"non-finite loss at iter {it + 1} "
+                                f"({skipped} steps skipped)"
                             )
-                        it = int(jax.device_get(state.step))
-                        continue
-                    t2 = time.time()
-                    meters.update(metrics)
-                    meters.update(
-                        {"time/data": t1 - t0, "time/step": t2 - t1,
-                         "time/iter": t2 - t_iter}
-                    )
-                    self.writer.add_scalars("train", metrics, it + 1)
-                    print(
-                        f"iter {it + 1}/{cfg.num_iters} "
-                        f"loss {metrics['loss']:.4f} "
-                        f"acc {metrics['acc_total']:.4f} "
-                        f"({(t2 - t_iter) / cfg.print_every:.3f}s/iter)",
-                        flush=True,
-                    )
+                    if np.isfinite(metrics["loss"]):
+                        t2 = time.time()
+                        meters.update(metrics)
+                        meters.update(
+                            {"time/data": t1 - t0, "time/step": t2 - t1,
+                             "time/iter": t2 - t_iter}
+                        )
+                        self.writer.add_scalars("train", metrics, it + 1)
+                        print(
+                            f"iter {it + 1}/{cfg.num_iters} "
+                            f"loss {metrics['loss']:.4f} "
+                            f"acc {metrics['acc_total']:.4f} "
+                            f"({(t2 - t_iter) / cfg.print_every:.3f}s/iter)",
+                            flush=True,
+                        )
                     t_iter = time.time()
 
                 if valid_iter and (it + 1) % cfg.valid_every == 0:
@@ -260,6 +254,7 @@ class Trainer:
                 "final_checkpoint": path,
                 "final_iter": int(jax.device_get(state.step)),
                 "best_acc": best,
+                "nan_steps_skipped": int(jax.device_get(state.nan_count)),
                 "meters": meters.averages(),
             }
         )
