@@ -1,11 +1,15 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Metric: 512x512 crops/sec/chip, H2D + forward, on the flagship UResNet
-(inplanes=16, 3 classes) — the BASELINE.json north star. Input data is
-realistic zero-suppressed LArTPC-like events (~1% occupancy) shipped to
-the device over the framework's sparse COO path and densified on-chip
-inside the jitted program (the reference ships dense f32 and is
-input-bound, SURVEY.md §6).
+Headline metric: 512x512 crops/sec/chip, H2D + forward, on the
+flagship UResNet (inplanes=16, 3 classes) — the BASELINE.json north
+star. The same JSON line carries a second metric under "train": full
+train-step throughput (sparse H2D + forward + backward + Adam update,
+donated state) at the same 512x512 shape, matching the north star's
+"infer + train step" scope. Input data is realistic zero-suppressed
+LArTPC-like events (~1% occupancy) shipped to the device over the
+framework's sparse COO path and densified on-chip inside the jitted
+program (the reference ships dense f32 and is input-bound, SURVEY.md
+§6).
 
 vs_baseline is the ratio to the PyTorch reference engine (functional
 evaluation of the same architecture/state-dict format) on this host's
@@ -32,6 +36,8 @@ HW = 512
 BATCH = 64
 ITERS = 15
 INPLANES = 16
+TRAIN_BATCH = 16
+TRAIN_ITERS = 12
 
 
 def log(msg):
@@ -105,6 +111,117 @@ def measure_tpu() -> dict:
     return {"crops_per_sec": crops_per_sec, "ms_per_batch": dt / ITERS * 1e3}
 
 
+def make_train_batches(n=4):
+    """Sparse-transfer training batches with a shared capacity so one
+    compiled train step serves all of them."""
+    from ubresnet_tpu.data.synthetic import synth_event
+    from ubresnet_tpu.ops.sparse import sparsify_batch
+
+    rng = np.random.RandomState(1)
+    batches = []
+    for _ in range(n):
+        evs = [synth_event(rng, (HW, HW)) for _ in range(TRAIN_BATCH)]
+        batches.append(
+            sparsify_batch(
+                {
+                    "image": np.stack([e["wire"] for e in evs])[..., None],
+                    "label": np.stack([e["segment"] for e in evs]),
+                    "weight": np.stack([e["weight"] for e in evs]),
+                }
+            )
+        )
+    caps = {
+        k: max(b[k].shape[1] for b in batches)
+        for k in ("img_idx", "lab_idx", "wgt_idx")
+    }
+    for b in batches:
+        for base in ("img", "lab", "wgt"):
+            cap = caps[f"{base}_idx"]
+            for suf in ("idx", "val"):
+                arr = b[f"{base}_{suf}"]
+                if arr.shape[1] < cap:
+                    b[f"{base}_{suf}"] = np.pad(
+                        arr, ((0, 0), (0, cap - arr.shape[1]))
+                    )
+    return batches
+
+
+def measure_tpu_train() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ubresnet_tpu.core.precision import Policy
+    from ubresnet_tpu.models import get_model
+    from ubresnet_tpu.train import build_train_step, create_train_state, make_optimizer
+
+    model = get_model(
+        "uresnet", policy=Policy.tpu(), input_channels=1, inplanes=INPLANES
+    )
+    tx = make_optimizer("adam", learning_rate=1e-5, weight_decay=1e-4)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, HW, HW, 1)), tx
+    )
+    step = build_train_step(num_classes=3, sparse_hw=(HW, HW))
+    batches = make_train_batches()
+
+    def put(b):
+        return {k: jax.device_put(v) if isinstance(v, np.ndarray) else v
+                for k, v in b.items()}
+
+    def run_window(state, n_iters):
+        metrics = None
+        t0 = time.time()
+        for i in range(n_iters):
+            state, metrics = step(state, put(batches[i % len(batches)]))
+        _ = float(metrics["loss"])  # D2H readback drains the queue
+        return state, time.time() - t0
+
+    state, _ = run_window(state, 2)  # compile + warm
+    state, dt = run_window(state, TRAIN_ITERS)
+    rate = TRAIN_ITERS * TRAIN_BATCH / dt
+    log(f"tpu sparse h2d+train-step: {rate:.1f} crops/s "
+        f"({dt / TRAIN_ITERS * 1e3:.1f} ms/batch of {TRAIN_BATCH})")
+    return {"crops_per_sec": rate, "ms_per_batch": dt / TRAIN_ITERS * 1e3}
+
+
+def measure_torch_train_baseline() -> float:
+    """PyTorch engine train step on this host (CPU build): forward +
+    weighted-NLL + backward + Adam, batch 1 like the reference deploy
+    granularity (its train used batch 4 at 256²; we keep the 512²
+    north-star shape)."""
+    import torch
+    import torch.nn.functional as F
+
+    from ubresnet_tpu.parity.torch_oracle import make_state_dict, torch_uresnet_eval
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    rng = np.random.RandomState(0)
+    sd = make_state_dict(rng, inplanes=INPLANES, in_ch=1, classes=3)
+    for k, v in sd.items():
+        v.requires_grad_("running_" not in k)
+    params = [v for v in sd.values() if v.requires_grad]
+    opt = torch.optim.Adam(params, lr=1e-5)
+    x = torch.from_numpy(rng.rand(1, 1, HW, HW).astype(np.float32))
+    lab = torch.from_numpy(rng.randint(0, 3, (1, HW, HW)))
+    wgt = torch.ones((1, HW, HW))
+
+    def step():
+        opt.zero_grad()
+        logp = torch_uresnet_eval(sd, x)
+        loss = (F.nll_loss(logp, lab, reduction="none") * wgt).mean()
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    n = 2
+    t0 = time.time()
+    for _ in range(n):
+        step()
+    rate = n / (time.time() - t0)
+    log(f"torch-cpu train baseline: {rate:.3f} crops/s")
+    return rate
+
+
 def measure_torch_baseline() -> float:
     """PyTorch engine on this host (CPU build), dense batch-1 forward
     like the reference deploy loop (run_ubresnet_precropped.py:136-138).
@@ -129,34 +246,55 @@ def measure_torch_baseline() -> float:
     return rate
 
 
-def get_baseline() -> float:
+def get_baselines() -> dict:
+    cached = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
-        log(f"baseline from cache: {cached['torch_cpu_crops_per_sec']:.3f} crops/s")
-        return cached["torch_cpu_crops_per_sec"]
-    rate = measure_torch_baseline()
-    with open(BASELINE_CACHE, "w") as f:
-        json.dump(
-            {
-                "torch_cpu_crops_per_sec": rate,
-                "note": "PyTorch-CPU reference engine, 1x1x512x512 forward, "
-                "torch " + __import__("torch").__version__,
-            },
-            f,
-            indent=2,
+    changed = False
+    if "torch_cpu_crops_per_sec" not in cached:
+        cached["torch_cpu_crops_per_sec"] = measure_torch_baseline()
+        changed = True
+    if "torch_cpu_train_crops_per_sec" not in cached:
+        cached["torch_cpu_train_crops_per_sec"] = measure_torch_train_baseline()
+        changed = True
+    if changed:
+        cached["note"] = (
+            "PyTorch-CPU reference engine, 1x1x512x512 forward / train step, "
+            "torch " + __import__("torch").__version__
         )
-    return rate
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(cached, f, indent=2)
+    else:
+        log(
+            f"baselines from cache: infer "
+            f"{cached['torch_cpu_crops_per_sec']:.3f}, train "
+            f"{cached['torch_cpu_train_crops_per_sec']:.3f} crops/s"
+        )
+    return cached
 
 
 def main():
     tpu = measure_tpu()
-    baseline = get_baseline()
+    train = measure_tpu_train()
+    baselines = get_baselines()
     result = {
         "metric": "uresnet16_512x512_infer_crops_per_sec_per_chip",
         "value": round(tpu["crops_per_sec"], 2),
         "unit": "crops/s",
-        "vs_baseline": round(tpu["crops_per_sec"] / baseline, 2),
+        "vs_baseline": round(
+            tpu["crops_per_sec"] / baselines["torch_cpu_crops_per_sec"], 2
+        ),
+        "train": {
+            "metric": "uresnet16_512x512_train_crops_per_sec_per_chip",
+            "value": round(train["crops_per_sec"], 2),
+            "unit": "crops/s",
+            "vs_baseline": round(
+                train["crops_per_sec"]
+                / baselines["torch_cpu_train_crops_per_sec"],
+                2,
+            ),
+        },
     }
     print(json.dumps(result))
 
