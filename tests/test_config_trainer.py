@@ -54,6 +54,85 @@ def test_dataconfig_from_pset():
     assert d.label_producer == "segment"
     assert d.weight_producer == "ts_keyspweight"
     assert d.mirror is True  # any EnableMirror true
+    assert d.plane == 2  # Channels: [2] (ubresnet_train.cfg:13)
+    assert d.shuffle is True  # RandomAccess
+
+
+SEGFILLER_TEXT = """
+ThreadDatumFillerTrain: {
+  Verbosity: 2
+  EnableFilter: false
+  RandomAccess: false
+  UseThread: false
+  InputFiles: ["t.root"]
+  ProcessType: ["SegFiller"]
+  ProcessName: ["SegFiller"]
+  ProcessList: {
+    SegFiller: {
+      Verbosity: 2
+      ImageProducer: "wire"
+      LabelProducer: "segment"
+      WeightProducer: "ts_keyspweight"
+      Channels: [2]
+      SegChannel: 2
+      EnableMirror: true
+      EnableCrop: false
+      ClassTypeList: [0,1,2]
+      ClassTypeDef: [0,0,0,2,2,2,1,1,1,1]
+    }
+  }
+}
+"""
+
+
+def test_dataconfig_from_segfiller_pset():
+    """The LArCV1 SegFiller dialect (train_ubresnet2018_wlarcv1.py:
+    136-211): producers via Label/WeightProducer keys, Channels plane
+    select, ClassTypeDef 10->3 remap, RandomAccess false."""
+    d = DataConfig.from_pset(parse_pset(SEGFILLER_TEXT), role="train")
+    assert d.files == ["t.root"]
+    assert d.image_producer == "wire"
+    assert d.label_producer == "segment"
+    assert d.weight_producer == "ts_keyspweight"
+    assert d.plane == 2
+    assert d.class_map == [0, 0, 0, 2, 2, 2, 1, 1, 1, 1]
+    assert d.mirror is True
+    assert d.shuffle is False  # RandomAccess: false
+    assert d.pad_crop == 0  # EnableCrop: false
+
+
+def test_from_pset_warns_on_dropped_keys():
+    import warnings
+
+    text = PSET_TEXT.replace(
+        'ImageProducer: "wire"', 'ImageProducer: "wire" FancyOption: 3'
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        DataConfig.from_pset(parse_pset(text), role="train")
+    assert any("FancyOption" in str(w.message) for w in rec)
+
+
+def test_from_pset_reference_cfgs():
+    """Ingest the reference's actual cfg files when mounted: the exact
+    selection semantics of ubresnet_train.cfg:1-29."""
+    import os
+
+    import pytest
+
+    path = "/root/reference/training/ubresnet_train.cfg"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not mounted")
+    with open(path) as f:
+        d = DataConfig.from_pset(parse_pset(f.read()), role="train")
+    assert d.image_producer == "wire"
+    assert d.label_producer == "segment"
+    assert d.weight_producer == "ts_keyspweight"
+    assert d.plane == 2
+    assert d.n_threads == 2 and d.n_buffers == 2
+    assert d.shuffle is True
+    assert d.mirror is False
+    assert len(d.files) == 4
 
 
 def test_trainconfig_json_roundtrip(tmp_path):

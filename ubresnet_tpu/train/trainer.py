@@ -41,8 +41,10 @@ from ubresnet_tpu.train.step import (
 
 def make_loader(dcfg: DataConfig, seed: int = 0):
     """C++ threaded filler when available (and no Python-only augments
-    requested); otherwise the Python BatchLoader."""
-    if dcfg.native and not dcfg.pad_crop:
+    requested); otherwise the Python BatchLoader. The C++ filler is
+    random-access only, so RandomAccess:false (shuffle=False) configs
+    use the sequential Python path."""
+    if dcfg.native and not dcfg.pad_crop and dcfg.shuffle:
         try:
             from ubresnet_tpu.data.native import NativeBatchLoader, native_available
 
@@ -86,6 +88,7 @@ def make_loader(dcfg: DataConfig, seed: int = 0):
         n_threads=dcfg.n_threads,
         n_buffers=dcfg.n_buffers,
         augment=augment,
+        shuffle=dcfg.shuffle,
         seed=seed,
     )
 
