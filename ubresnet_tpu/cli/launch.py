@@ -70,9 +70,58 @@ def run_job(sweep: dict, index: int, workdir: str) -> int:
         return proc.wait()
 
 
+def run_distributed(config: str, n_processes: int, workdir: str,
+                    coordinator: str = "127.0.0.1:0",
+                    overrides=None) -> int:
+    """ONE training across n_processes via jax.distributed — the
+    capability the reference lacks entirely (torch.distributed imported
+    but never called, SURVEY.md §2.3). Exports the UBTPU_* env contract
+    consumed by parallel/distributed.initialize(); on a real cluster
+    the scheduler sets the same variables per task (e.g. from
+    SLURM_PROCID / the head-node address)."""
+    host, _, port = coordinator.partition(":")
+    if port in ("", "0"):
+        import socket
+
+        s = socket.socket()
+        s.bind((host or "127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+        s.close()
+    coordinator = f"{host or '127.0.0.1'}:{port}"
+    os.makedirs(workdir, exist_ok=True)
+    procs = []
+    for pid in range(n_processes):
+        env = dict(os.environ)
+        env.update(
+            UBTPU_COORDINATOR=coordinator,
+            UBTPU_NUM_PROCESSES=str(n_processes),
+            UBTPU_PROCESS_ID=str(pid),
+        )
+        cmd = [sys.executable, "-m", "ubresnet_tpu.cli.train",
+               "--config", os.path.abspath(config)]
+        for ov in overrides or []:
+            cmd += ["--set", ov]
+        log = open(os.path.join(workdir, f"proc{pid}.log"), "w")
+        procs.append(subprocess.Popen(cmd, env=env, stdout=log,
+                                      stderr=subprocess.STDOUT))
+        print(f"launched process {pid} (pid {procs[-1].pid})", flush=True)
+    codes = [p.wait() for p in procs]
+    print(f"distributed run done: exit codes {codes}")
+    return max(codes)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="Run a training sweep")
-    ap.add_argument("--sweep", required=True, help="sweep spec JSON")
+    ap.add_argument("--sweep", help="sweep spec JSON")
+    ap.add_argument("--distributed", type=int, default=None, metavar="N",
+                    help="run ONE training as N jax.distributed processes")
+    ap.add_argument("--config", help="train config (with --distributed)")
+    ap.add_argument("--coordinator", default="127.0.0.1:0",
+                    help="coordinator host:port (with --distributed; "
+                         "port 0 picks a free one)")
+    ap.add_argument("--set", action="append", dest="overrides",
+                    metavar="KEY=VALUE",
+                    help="config overrides (with --distributed)")
     ap.add_argument("--workdir", default="sweep_out")
     ap.add_argument(
         "--job-index", type=int, default=None,
@@ -85,6 +134,14 @@ def main(argv=None):
     ap.add_argument("--emit-sbatch", default=None, metavar="PATH",
                     help="write a SLURM array script and exit")
     args = ap.parse_args(argv)
+
+    if args.distributed:
+        if not args.config:
+            ap.error("--distributed requires --config")
+        return run_distributed(args.config, args.distributed, args.workdir,
+                               args.coordinator, args.overrides)
+    if not args.sweep:
+        ap.error("--sweep required (or use --distributed)")
 
     with open(args.sweep) as f:
         sweep = json.load(f)

@@ -39,6 +39,20 @@ def main(argv=None):
     from ubresnet_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+    # multi-host: one training across processes when the launcher set
+    # UBTPU_COORDINATOR / UBTPU_NUM_PROCESSES / UBTPU_PROCESS_ID
+    # (no-op single-process otherwise)
+    from ubresnet_tpu.parallel import distributed
+
+    if distributed.initialize():
+        import jax
+
+        print(
+            f"distributed: process {jax.process_index()}/"
+            f"{jax.process_count()}, {len(jax.local_devices())} local / "
+            f"{len(jax.devices())} global devices",
+            flush=True,
+        )
     ap = argparse.ArgumentParser(description="Train a ubresnet_tpu model")
     ap.add_argument("--config", "-c", required=True, help="JSON or PSet config file")
     ap.add_argument(

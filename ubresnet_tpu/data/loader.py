@@ -218,6 +218,7 @@ class DevicePrefetcher:
         self.drop_keys = drop_keys
         self.sparse_bucket = sparse_bucket
         self.hw = None
+        self.image_shape = None  # host-side (b, h, w, c), set on first batch
         self._caps = {}
 
     def _sparsify(self, batch):
@@ -250,6 +251,8 @@ class DevicePrefetcher:
         import jax
 
         batch = {k: v for k, v in batch.items() if k not in self.drop_keys}
+        if self.image_shape is None and "image" in batch:
+            self.image_shape = tuple(batch["image"].shape)
         if self.sparse_bucket:
             batch = self._sparsify(batch)
         if self.mesh is None:

@@ -21,9 +21,23 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ubresnet_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _put_full(x, sharding: NamedSharding):
+    """Place a FULL (host-replicated) value onto a possibly multi-host
+    sharding. Single-process: plain device_put. Multi-process: every
+    process holds the whole value (e.g. identically-seeded init or an
+    orbax restore), so assemble the global array shard-by-shard."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
 
 
 def make_param_shardings(params: Any, mesh: Mesh, min_features: int = 256):
@@ -58,25 +72,32 @@ def shard_state(state, mesh: Mesh, min_features: int = 256):
         lambda x: make_param_shardings(x, mesh, min_features), state.opt_state
     )
     repl = NamedSharding(mesh, P())
+    put = jax.tree_util.tree_map
     return state.replace(
-        step=jax.device_put(state.step, repl),
-        params=jax.device_put(state.params, param_sh),
-        batch_stats=jax.device_put(
-            state.batch_stats,
-            jax.tree_util.tree_map(lambda _: repl, state.batch_stats),
-        ),
-        opt_state=jax.device_put(state.opt_state, opt_sh),
-        best_metric=jax.device_put(state.best_metric, repl),
-        nan_count=jax.device_put(state.nan_count, repl),
+        step=_put_full(state.step, repl),
+        params=put(_put_full, state.params, param_sh),
+        batch_stats=put(lambda x: _put_full(x, repl), state.batch_stats),
+        opt_state=put(_put_full, state.opt_state, opt_sh),
+        best_metric=_put_full(state.best_metric, repl),
+        nan_count=_put_full(state.nan_count, repl),
     )
 
 
 def shard_batch(batch: Any, mesh: Mesh):
-    """Shard the leading batch axis of every array over the data axis."""
+    """Shard the leading batch axis of every array over the data axis.
+
+    Multi-process: each process contributes its own (different) local
+    batch; the global batch axis is their concatenation in process
+    order — the jax.distributed data-parallel idiom replacing the
+    reference's SLURM-array independence (SURVEY.md §2.3)."""
+    multiproc = jax.process_count() > 1
 
     def put(x):
         spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sh = NamedSharding(mesh, spec)
+        if multiproc:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch)
 

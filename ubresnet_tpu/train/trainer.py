@@ -108,7 +108,21 @@ class Trainer:
 
         self.tx = optimizer_from_config(cfg.optim)
         self.mesh = mesh
-        if mesh is None and (cfg.model_axis > 1 or len(jax.devices()) > 1):
+        n_proc = jax.process_count()
+        if mesh is None and n_proc > 1:
+            # multi-host (jax.distributed): one mesh over ALL processes'
+            # devices; cfg batch_size is PER-PROCESS, global batch =
+            # batch_size * process_count (the reference scaled batch as
+            # 4*len(DEVICE_IDS), wlarcv2:124-126)
+            self.mesh = make_mesh(jax.devices(), model_axis=cfg.model_axis)
+            global_batch = cfg.train_data.batch_size * n_proc
+            if global_batch % self.mesh.shape["data"]:
+                raise ValueError(
+                    f"global batch {global_batch} (= {cfg.train_data.batch_size}"
+                    f" x {n_proc} processes) not divisible by data axis "
+                    f"{self.mesh.shape['data']}"
+                )
+        elif mesh is None and (cfg.model_axis > 1 or len(jax.devices()) > 1):
             # data-axis size must divide the global batch; use the
             # largest device count that does (reference scaled batch as
             # 4*len(DEVICE_IDS) instead, wlarcv2:124-126)
@@ -143,9 +157,12 @@ class Trainer:
 
     def run(self) -> dict:
         cfg = self.cfg
-        train_loader = make_loader(cfg.train_data, seed=cfg.seed).start()
+        # each process draws a distinct random stream (the loader shard
+        # of multi-host data parallelism)
+        pseed = cfg.seed + jax.process_index() * 7919
+        train_loader = make_loader(cfg.train_data, seed=pseed).start()
         valid_loader = (
-            make_loader(cfg.valid_data, seed=cfg.seed + 1).start()
+            make_loader(cfg.valid_data, seed=pseed + 1).start()
             if cfg.valid_data
             else None
         )
@@ -172,7 +189,12 @@ class Trainer:
                 remat=cfg.remat,
             )
         else:
-            example = first["image"][:1]
+            # host-side shape (global arrays aren't sliceable on
+            # multi-host); init only needs shape+dtype
+            example = jax.numpy.zeros(
+                (1,) + tuple(prefetcher.image_shape[1:]),
+                jax.numpy.float32,
+            )
         state = self._init_state(example)
         meters = MeterDict()
         best = float(jax.device_get(state.best_metric))
