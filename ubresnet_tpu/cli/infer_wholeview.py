@@ -29,6 +29,13 @@ def main(argv=None):
     ap.add_argument("--arch", default="uresnet", choices=["uresnet", "aspp_resnet"])
     ap.add_argument("--best", action="store_true")
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--detsplit", action="store_true",
+                    help="3D-consistent crop triplets across U/V/Y "
+                         "(UBSplitDetector semantics) instead of "
+                         "independent per-plane grids")
+    ap.add_argument("--passthrough", action="store_true",
+                    help="copy input event content to the output file "
+                         "(IOManager kBOTH mode)")
     args = ap.parse_args(argv)
 
     from ubresnet_tpu.deploy import WholeViewRunner
@@ -49,6 +56,8 @@ def main(argv=None):
         producer=args.producer,
         planes=args.planes,
         n_entries=args.nevents,
+        detsplit=args.detsplit,
+        passthrough=args.passthrough,
         verbose=args.verbose,
     )
     print(json.dumps(timing))

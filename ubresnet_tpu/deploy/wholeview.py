@@ -44,6 +44,8 @@ class WholeViewRunner:
         crop_batch: int = 10,
         sparse: bool = True,
         sparse_bucket: int = 8192,
+        covered_z_width: int = 310,
+        det_half_height_cm: Optional[float] = None,
     ):
         self.model = model
         self.variables = variables
@@ -54,24 +56,28 @@ class WholeViewRunner:
         self.crop_batch = crop_batch
         self.sparse = sparse
         self.sparse_bucket = sparse_bucket
+        self.covered_z_width = covered_z_width
+        self.det_half_height_cm = det_half_height_cm
         self._cap = 0
         self._compiled = {}
 
-    def _pipeline(self, hw: Tuple[int, int], cap: int = 0):
+    def _pipeline(self, hw: Tuple[int, int], cap: int = 0,
+                  grid: Optional[Tuple[Tuple[int, int], ...]] = None):
         """Jitted split→forward→stitch for a whole-image size; when
         ``cap > 0`` the program takes a COO (indices, values) pair and
-        densifies on device first. Cached per (hw, cap)."""
-        key = (hw, cap)
+        densifies on device first. Cached per (hw, cap, grid)."""
+        key = (hw, cap, grid)
         if key in self._compiled:
             return self._compiled[key]
-        grid = tile_grid(
-            hw[0],
-            hw[1],
-            self.tile_rows,
-            self.tile_cols,
-            self.min_overlap_rows,
-            self.min_overlap_cols,
-        )
+        if grid is None:
+            grid = tile_grid(
+                hw[0],
+                hw[1],
+                self.tile_rows,
+                self.tile_cols,
+                self.min_overlap_rows,
+                self.min_overlap_cols,
+            )
         n_tiles = len(grid)
         # pad tile count to a multiple of crop_batch for static shapes
         n_pad = (-n_tiles) % self.crop_batch
@@ -139,14 +145,20 @@ class WholeViewRunner:
             adc_threshold,
         )
 
-    def score_image(self, image: np.ndarray) -> np.ndarray:
+    def score_image(
+        self,
+        image: np.ndarray,
+        grid: Optional[Tuple[Tuple[int, int], ...]] = None,
+    ) -> np.ndarray:
         """(h, w) ADC -> (h, w, classes) stitched probabilities.
 
         Sparse mode ships the whole plane as COO nonzeros (a 1008x3456
         view is ~14 MB dense, typically <1% occupied) and densifies
-        on-device before the split→score→stitch program."""
+        on-device before the split→score→stitch program. ``grid``
+        overrides the default per-plane tile grid (used by the
+        detector-consistent triplet path)."""
         if not self.sparse:
-            run, _ = self._pipeline(image.shape[:2])
+            run, _ = self._pipeline(image.shape[:2], grid=grid)
             out = run(self.variables, jnp.asarray(image, jnp.float32)[..., None])
             return np.asarray(jax.device_get(out))
         from ubresnet_tpu.ops.sparse import sparsify
@@ -158,13 +170,33 @@ class WholeViewRunner:
             pad = self._cap - k
             sp["indices"] = np.pad(sp["indices"], ((0, 0), (0, pad)))
             sp["values"] = np.pad(sp["values"], ((0, 0), (0, pad)))
-        run, _ = self._pipeline(image.shape[:2], cap=self._cap)
+        run, _ = self._pipeline(image.shape[:2], cap=self._cap, grid=grid)
         out = run(
             self.variables,
             jax.device_put(sp["indices"]),
             jax.device_put(sp["values"]),
         )
         return np.asarray(jax.device_get(out))
+
+    def _detsplit_grids(self, hw: Tuple[int, int]):
+        """Per-plane grids from 3D-consistent triplets (UBSplitDetector
+        semantics, ops/tiling.py detsplit_triplets). Cached per shape."""
+        from ubresnet_tpu.ops.tiling import detsplit_triplets, triplet_plane_grid
+
+        key = ("detsplit", hw)
+        if key not in self._compiled:
+            kw = {}
+            if self.det_half_height_cm is not None:
+                kw["half_height_cm"] = self.det_half_height_cm
+            trips = detsplit_triplets(
+                hw[0], hw[1], self.tile_rows, self.tile_cols,
+                covered_z_width=self.covered_z_width,
+                min_overlap_rows=self.min_overlap_rows, **kw,
+            )
+            self._compiled[key] = {
+                p: triplet_plane_grid(trips, p) for p in (0, 1, 2)
+            }
+        return self._compiled[key]
 
     def run(
         self,
@@ -173,8 +205,17 @@ class WholeViewRunner:
         producer: str = "wire",
         planes: Optional[Sequence[int]] = None,
         n_entries: Optional[int] = None,
+        detsplit: bool = False,
+        passthrough: bool = False,
         verbose: bool = False,
     ) -> OrderedDict:
+        """Score whole views. ``detsplit`` positions each plane's crops
+        by the 3D-consistent triplet math (the reference's
+        UBSplitDetector behavior) instead of independent per-plane
+        grids. ``passthrough`` copies the input event content into the
+        output file alongside the scores — the reference's
+        IOManager(kBOTH) mode (run_ubresnet_wholeview.py:130-133), so
+        downstream consumers keep ADC/truth images."""
         timing = OrderedDict(
             [("total", 0.0), ("read", 0.0), ("splitscore", 0.0), ("write", 0.0)]
         )
@@ -185,15 +226,27 @@ class WholeViewRunner:
 
         for i in range(n):
             t0 = time.time()
-            ev = reader.read_entry(i, producers=[producer])
+            ev = reader.read_entry(i, producers=None if passthrough else [producer])
             images = ev[producer]
             if planes is not None:
                 images = [im for im in images if im.meta.plane in planes]
             timing["read"] += time.time() - t0
 
+            if passthrough:
+                t0 = time.time()
+                for prod, imgs in ev.items():
+                    for im in imgs:
+                        writer.append(prod, im)
+                timing["write"] += time.time() - t0
+
             for img in images:
                 t0 = time.time()
-                scores = self.score_image(img.pixels)
+                grid = None
+                if detsplit:
+                    grid = self._detsplit_grids(img.pixels.shape[:2])[
+                        img.meta.plane
+                    ]
+                scores = self.score_image(img.pixels, grid=grid)
                 timing["splitscore"] += time.time() - t0
 
                 t0 = time.time()

@@ -15,6 +15,7 @@ constant fields (SURVEY.md §7 hard parts).
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import List, Optional, Sequence, Tuple
 
@@ -156,3 +157,147 @@ def coverage(grid: Sequence[Tuple[int, int]], tile_rows: int, tile_cols: int,
     for r, c in grid:
         cov[r : r + tile_rows, c : c + tile_cols] += 1
     return cov
+
+
+# ------------------------------------------------ 3-plane consistency
+#
+# UBSplitDetector (run_ubresnet_wholeview.py:33-55) emits 3D-consistent
+# bbox TRIPLETS: one 512x832 crop per wire plane (U=0, V=1, Y=2) such
+# that all three cover the same detector (y, z) region. The C++ source
+# is in an unmounted submodule, so the wire-range math is derived here
+# from MicroBooNE geometry first principles:
+#
+#   * wire pitch 0.3 cm on every plane;
+#   * Y (collection) wires are vertical: wire = z / pitch, 3456 wires
+#     over z in [0, 1036.8] cm;
+#   * U/V (induction) wires run at +-60 deg from vertical: their wire
+#     coordinate mixes z and y, 2400 wires over the 720 cm normal span
+#     (detector half-height 116.5 cm);
+#   * an 832-pixel (249.6 cm) induction crop therefore covers the FULL
+#     detector height (233 cm * sin60 = 201.8 cm) plus a z slab of
+#     310 px * 0.3 cm * cos60 = 46.5 cm -- 828 px total. That is
+#     exactly why the reference pairs BBoxPixelWidth: 832 with
+#     CoveredZWidth: 310: the central 310-pixel z window of the Y crop
+#     is guaranteed visible in the matching U and V crops at EVERY y.
+
+WIRE_PITCH_CM = 0.3
+DET_HALF_HEIGHT_CM = 116.5
+_UV_COS = 0.5  # cos(60 deg): z contribution to U/V wire coordinate
+_UV_SIN = float(np.sqrt(3.0) / 2.0)  # sin(60 deg): y contribution
+
+
+def wire_coordinate(
+    plane: int,
+    y_cm: float,
+    z_cm: float,
+    half_height_cm: float = DET_HALF_HEIGHT_CM,
+) -> float:
+    """Fractional wire number of detector point (y, z) on a plane —
+    the larcv Geometry::WireCoordinate role for the wholeview split.
+    ``half_height_cm`` parameterizes the detector for scaled tests."""
+    if plane == 2:  # collection (Y): vertical wires
+        return z_cm / WIRE_PITCH_CM
+    if plane == 0:  # induction U: wire number grows with z, falls with y
+        return (
+            z_cm * _UV_COS + (half_height_cm - y_cm) * _UV_SIN
+        ) / WIRE_PITCH_CM
+    if plane == 1:  # induction V: mirror of U in y
+        return (
+            z_cm * _UV_COS + (y_cm + half_height_cm) * _UV_SIN
+        ) / WIRE_PITCH_CM
+    raise ValueError(f"plane must be 0, 1 or 2, got {plane}")
+
+
+@dataclasses.dataclass(frozen=True)
+class TripletCrop:
+    """One 3D-consistent crop set: same rows (time) on all planes,
+    per-plane column origins, and the detector-z pixel window the
+    triplet is guaranteed to share."""
+
+    row0: int
+    col0: Tuple[int, int, int]  # (U, V, Y) column origins
+    z_window: Tuple[int, int]  # Y-plane columns [z0, z1) covered on all planes
+
+    def origin(self, plane: int) -> Tuple[int, int]:
+        return (self.row0, self.col0[plane])
+
+
+def detsplit_triplets(
+    rows: int = 1008,
+    cols: int = 3456,
+    tile_rows: int = 512,
+    tile_cols: int = 832,
+    covered_z_width: int = 310,
+    min_overlap_rows: int = 16,
+    half_height_cm: float = DET_HALF_HEIGHT_CM,
+) -> Tuple[TripletCrop, ...]:
+    """3-plane consistent tiling of a whole detector view — the
+    UBSplitDetector configuration of run_ubresnet_wholeview.py:33-55
+    (BBoxPixelHeight/Width 512x832, CoveredZWidth 310,
+    FillCroppedYImageCompletely).
+
+    The z axis (Y-plane columns) is tiled in consecutive
+    ``covered_z_width`` windows covering all ``cols`` columns; each
+    window yields, per time band, one crop per plane positioned so the
+    window's full (y, z) slab is inside all three crops.
+    """
+    if tile_cols > cols:
+        raise ValueError(f"tile_cols {tile_cols} > image cols {cols}")
+    span_needed = (
+        2 * half_height_cm * _UV_SIN / WIRE_PITCH_CM
+        + covered_z_width * _UV_COS
+    )
+    if span_needed > tile_cols:
+        raise ValueError(
+            f"covered_z_width {covered_z_width} needs {span_needed:.0f} "
+            f"induction columns > tile_cols {tile_cols}"
+        )
+    rpos = _axis_positions(rows, tile_rows, min_overlap_rows)
+    zpos = _axis_positions(cols, covered_z_width, 0)
+
+    triplets = []
+    for z0px in zpos:
+        z1px = z0px + covered_z_width
+        z0, z1 = z0px * WIRE_PITCH_CM, z1px * WIRE_PITCH_CM
+        origins = []
+        for plane in (0, 1, 2):
+            corners = [
+                wire_coordinate(plane, y, z, half_height_cm)
+                for y in (-half_height_cm, half_height_cm)
+                for z in (z0, z1)
+            ]
+            center = (min(corners) + max(corners)) / 2.0
+            c0 = int(round(center - tile_cols / 2.0))
+            origins.append(int(np.clip(c0, 0, cols - tile_cols)))
+        for r in rpos:
+            triplets.append(
+                TripletCrop(int(r), tuple(origins), (z0px, z1px))
+            )
+    return tuple(triplets)
+
+
+def triplet_plane_grid(
+    triplets: Sequence[TripletCrop], plane: int
+) -> Tuple[Tuple[int, int], ...]:
+    """Per-plane (row0, col0) grid view of a triplet set — feeds the
+    existing extract_tiles/stitch_tiles device path."""
+    return tuple(t.origin(plane) for t in triplets)
+
+
+def triplet_consistent(
+    t: TripletCrop,
+    tile_cols: int = 832,
+    half_height_cm: float = DET_HALF_HEIGHT_CM,
+) -> bool:
+    """True iff every detector point (y, z) in the triplet's z window
+    maps inside the crop on all three planes (the 3D-consistency
+    invariant UBSplitDetector guarantees)."""
+    z0, z1 = (px * WIRE_PITCH_CM for px in t.z_window)
+    for plane in (0, 1, 2):
+        lo, hi = t.col0[plane], t.col0[plane] + tile_cols
+        for y in (-half_height_cm, half_height_cm):
+            for z in (z0, z1):
+                w = wire_coordinate(plane, y, z, half_height_cm)
+                if not (lo - 1e-6 <= w <= hi + 1e-6):
+                    return False
+    return True
