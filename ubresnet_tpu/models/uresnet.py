@@ -49,18 +49,33 @@ class UResNet(nn.Module):
 
         # W-packed execution of the low-channel high-res stages (stem,
         # enc1, dec2, dec1, head): see ops/packed.py. Exact same math
-        # and parameters; tensors carry pack_width columns folded into
-        # channels so TPU tiles stay lane-full.
-        p = pol.pack_width
-        use_pack = p > 1 and x.shape[2] % (2 * p) == 0 and cfg.depth == 5
+        # and parameters; tensors carry the stage's pack-factor columns
+        # folded into channels so TPU tiles stay lane-full. The pack
+        # factor is PER STAGE: p = 128 // channels (capped by the
+        # policy), so 16-channel stages run p=8 and 32-channel stages
+        # p=4 — both fill the 128 lanes, but the dense packed kernel's
+        # FLOP inflation is p, so halving p on the 32-channel stages
+        # halves their MXU work. Transitions between pack factors are
+        # pure reshapes in row-major layout.
+        pmax = pol.pack_width
+
+        def p_for(c):
+            return max(1, min(pmax, 128 // c))
+
+        p_stem = p_for(cfg.inplanes)
+        p_enc1 = p_for(2 * cfg.inplanes)
+        use_pack = (
+            pmax > 1 and x.shape[2] % (2 * p_stem) == 0 and cfg.depth == 5
+        )
         if use_pack:
             from ubresnet_tpu.ops.packed import pack, unpack
 
         xin = x.astype(pol.compute_dtype)
         if use_pack:
-            x0 = ConvBN(cfg.inplanes, 7, 1, use_bias=True, packed=p,
-                        policy=pol, name="stem")(pack(xin, p), train=train)
-            y = pack(stem_pool(unpack(x0, p)), p)
+            x0 = ConvBN(cfg.inplanes, 7, 1, use_bias=True, packed=p_stem,
+                        policy=pol, name="stem")(pack(xin, p_stem),
+                                                 train=train)
+            y = pack(stem_pool(unpack(x0, p_stem)), p_enc1)
         else:
             # Stem (ub_uresnet.py:41-44): 7x7 conv + BN + ReLU, pool.
             x0 = ConvBN(cfg.inplanes, 7, 1, use_bias=True, policy=pol,
@@ -72,33 +87,39 @@ class UResNet(nn.Module):
         for i in range(cfg.depth):
             feats = cfg.inplanes * (2 ** (i + 1))
             stride = 1 if i == 0 else 2
-            stage_packed = p if (use_pack and i == 0) else 0
+            stage_packed = p_enc1 if (use_pack and i == 0) else 0
             y = DoubleResNet(feats, stride, packed=stage_packed, policy=pol,
                              name=f"enc{i + 1}")(y, train=train)
             skips.append(y)
             if use_pack and i == 0:
-                y = unpack(y, p)  # deeper stages run unpacked
+                y = unpack(y, p_enc1)  # deeper stages run unpacked
 
         # Decoder: mirror stages; deconv halves channels, concat skip,
         # DoubleResNet back to the skip's width (ub_uresnet.py:52-56).
         for i in range(cfg.depth, 0, -1):
             feats = cfg.inplanes * (2 ** (i - 1))
-            stage_packed = p if (use_pack and i <= 2) else 0
+            p_stage = p_for(feats) if (use_pack and i <= 2) else 0
             if use_pack and i == 2:
-                y = pack(y, p)  # re-enter the packed zone for dec2/dec1
-            y = DecoderBlock(feats, feats, packed=stage_packed, policy=pol,
+                y = pack(y, p_stage)  # re-enter the packed zone (dec2)
+            elif use_pack and i == 1 and p_stage != p_for(2 * feats):
+                # repack between dec2 and dec1 (pure reshape)
+                y = pack(unpack(y, p_for(2 * feats)), p_stage)
+            y = DecoderBlock(feats, feats, packed=p_stage, policy=pol,
                              name=f"dec{i}")(y, skips[i - 1], train=train)
 
         # Head (ub_uresnet.py:58-66): conv10+BN+ReLU, conv11, log-softmax.
+        p_head = p_for(cfg.final_conv_kernels) if use_pack else 0
+        if use_pack and p_head != p_for(cfg.inplanes):
+            y = pack(unpack(y, p_for(cfg.inplanes)), p_head)
         y = ConvBN(cfg.final_conv_kernels, 7, 1, use_bias=True,
-                   packed=p if use_pack else 0, policy=pol, name="head")(
+                   packed=p_head, policy=pol, name="head")(
             y, train=train)
         if use_pack:
             from ubresnet_tpu.models.blocks import PackedConv
 
-            y = PackedConv(cfg.num_classes, 7, 1, True, p, pol,
+            y = PackedConv(cfg.num_classes, 7, 1, True, p_head, pol,
                            name="classifier")(y)
-            y = unpack(y, p)
+            y = unpack(y, p_head)
         else:
             y = nn.Conv(
                 cfg.num_classes,
