@@ -1,0 +1,96 @@
+"""Pallas fused packed-conv kernels (ops/pallas_conv.py) — equivalence
+vs the XLA packed path on the virtual CPU backend (interpret mode).
+
+The fused kernels are an eval-time performance path; their contract is
+bf16-level agreement with the XLA packed path, which itself is
+bit-equivalent to the unpacked reference math (tests/test_packed*.py).
+Here we pin exact structural agreement in f32 interpret mode (MXU
+truncation doesn't apply in the interpreter)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ubresnet_tpu.core.precision import Policy
+from ubresnet_tpu.models.blocks import BasicBlock, ConvBN, DoubleResNet
+from ubresnet_tpu.ops.packed import pack, unpack
+from ubresnet_tpu.ops.pallas_conv import fused_packed_conv
+
+POL_F = dataclasses.replace(Policy.f32(), pack_width=8, fused_eval=True)
+POL_U = dataclasses.replace(POL_F, fused_eval=False)
+
+
+def _ref_conv(x, w, g, b, act, pre_act, res=None):
+    kh, kw, ci, co = w.shape
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(kh // 2,) * 2, (kw // 2,) * 2],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).astype(jnp.float32)
+    y = y * g + b
+    if pre_act:
+        y = jnp.maximum(y, 0.0)
+    if res is not None:
+        y = y + res.astype(jnp.float32)
+    if act:
+        y = jnp.maximum(y, 0.0)
+    return y
+
+
+@pytest.mark.parametrize(
+    "p,ci,co,k,res",
+    [
+        (8, 16, 16, 3, False),
+        (8, 32, 16, 3, False),  # pci=256 input
+        (4, 32, 32, 3, True),
+        (8, 16, 16, 7, False),  # head-style 7x7
+        (8, 16, 3, 7, False),  # classifier-style
+    ],
+)
+def test_fused_conv_matches_reference(rng, p, ci, co, k, res):
+    B, H, W = 2, 16, 16 * p
+    x = jnp.asarray(rng.randn(B, H, W, ci), jnp.float32)
+    w = jnp.asarray(rng.randn(k, k, ci, co) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.rand(co) + 0.5, jnp.float32)
+    b = jnp.asarray(rng.randn(co) * 0.1, jnp.float32)
+    r = jnp.asarray(rng.randn(B, H, W, co), jnp.float32) if res else None
+    want = _ref_conv(x, w, g, b, act=True, pre_act=res, res=r)
+    got = fused_packed_conv(
+        pack(x, p),
+        w,
+        jnp.tile(g, p),
+        jnp.tile(b, p),
+        p=p,
+        residual=pack(r, p) if res else None,
+        act=True,
+        pre_act=res,
+        th=4,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(unpack(got, p)), np.asarray(want), atol=2e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "mk,shape,packed",
+    [
+        (lambda pol: ConvBN(16, 3, packed=8, policy=pol), (1, 8, 16, 128), 8),
+        (lambda pol: ConvBN(16, 7, use_bias=True, packed=8, policy=pol),
+         (1, 8, 16, 128), 8),
+        (lambda pol: BasicBlock(16, 1, packed=8, policy=pol),
+         (1, 8, 16, 256), 8),
+        (lambda pol: DoubleResNet(32, 1, packed=4, policy=pol),
+         (1, 8, 32, 128), 4),
+    ],
+)
+def test_fused_modules_match_xla_path(rng, mk, shape, packed):
+    """ConvBN/BasicBlock/DoubleResNet produce the same eval outputs on
+    the fused (pallas, interpret) and XLA packed paths."""
+    x = jnp.asarray(rng.randn(*shape), jnp.float32)
+    m_f, m_u = mk(POL_F), mk(POL_U)
+    v = m_u.init(jax.random.PRNGKey(0), x, train=False)
+    a = m_f.apply(v, x, train=False)
+    b = m_u.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -32,6 +32,15 @@ class Policy:
     # `pack_width` columns into channels so tiles stay lane-full.
     # 0 disables. 8 is the sweet spot for 16-32 channel stages.
     pack_width: int = 0
+    # Pallas fused conv / whole-BasicBlock kernels on packed eval paths
+    # (ops/pallas_conv.py): fewer MXU passes (halo matmul) + fused
+    # epilogues. Isolated blocks run 1.4-1.7x faster than the XLA
+    # path, but model-wide XLA inserts full-tensor layout-conversion
+    # copies at every XLA-conv <-> pallas boundary (~4.5 GB per
+    # batch-64 forward, measured in the compiled HLO), erasing the
+    # gain until the remaining packed-zone ops (deconv, concat, pool)
+    # are also pallas. Off by default; an opt-in experimental path.
+    fused_eval: bool = False
 
     @staticmethod
     def tpu() -> "Policy":

@@ -64,7 +64,7 @@ class PackedConv(nn.Module):
     policy: Policy = Policy()
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, params_only: bool = False):
         from ubresnet_tpu.ops.packed import packed_conv
 
         ci = x.shape[-1] // self.pack
@@ -82,6 +82,8 @@ class PackedConv(nn.Module):
             if self.use_bias
             else None
         )
+        if params_only:  # fused eval path reads the params directly
+            return kernel, bias
         cdt = self.policy.compute_dtype
         return packed_conv(
             x.astype(cdt),
@@ -106,7 +108,7 @@ class PackedBN(nn.Module):
     policy: Policy = Policy()
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, *, train: bool, params_only: bool = False):
         from ubresnet_tpu.ops.packed import tile_channel_vector
 
         p = self.pack
@@ -123,6 +125,8 @@ class PackedBN(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
+        if params_only:  # fused eval path folds the affine itself
+            return scale, bias, ra_mean.value, ra_var.value
         if train:
             xf = x.astype(jnp.float32)
             b, h, wc, _ = xf.shape
@@ -161,11 +165,17 @@ class ConvBN(nn.Module):
     policy: Policy = Policy()
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, *, train: bool, residual=None,
+                 params_only: bool = False):
+        """``residual``: optional same-shape tensor implementing the
+        BasicBlock tail — [act after BN is the pre-add ReLU], + residual,
+        final ReLU (common_layers.py:39-58). Fused into the Pallas conv
+        epilogue on the packed eval path. ``params_only`` returns the
+        conv/BN parameters for the whole-block fused kernel."""
         if self.packed:
             if self.dilation != 1:
                 raise NotImplementedError("packed conv with dilation")
-            y = PackedConv(
+            conv = PackedConv(
                 self.features,
                 self.kernel,
                 self.stride,
@@ -173,11 +183,67 @@ class ConvBN(nn.Module):
                 self.packed,
                 self.policy,
                 name="conv",
-            )(x)
-            y = PackedBN(self.packed, policy=self.policy, name="bn")(
-                y, train=train
             )
-            return nn.relu(y) if self.act else y
+            bn = PackedBN(self.packed, policy=self.policy, name="bn")
+            p = self.packed
+            ci = x.shape[-1] // p
+            cdt = self.policy.compute_dtype
+            if params_only:
+                # fused block kernel reads the raw params + BN stats
+                kernel, cbias = conv(x, params_only=True)
+                dummy = jnp.zeros((1, 1, 1, p * self.features), cdt)
+                scale, bbias, mean, var = bn(
+                    dummy, train=train, params_only=True
+                )
+                return kernel, cbias, scale, bbias, mean, var
+            use_fused = (
+                self.policy.fused_eval
+                and not train
+                and not self.is_initializing()
+                and self.stride == 1
+                and x.shape[-1] >= 128
+                and 2 * (self.kernel // 2) * ci <= 128
+            )
+            if use_fused:
+                from ubresnet_tpu.ops.packed import tile_channel_vector
+                from ubresnet_tpu.ops.pallas_conv import fused_packed_conv
+
+                kernel, cbias = conv(x, params_only=True)
+                dummy = jnp.zeros((1, 1, 1, p * self.features), cdt)
+                scale, bbias, mean, var = bn(
+                    dummy, train=train, params_only=True
+                )
+                g = scale.astype(jnp.float32) * jax.lax.rsqrt(var + BN_EPS)
+                beta = bbias.astype(jnp.float32) - mean * g
+                if cbias is not None:
+                    beta = beta + g * cbias.astype(jnp.float32)
+                y = fused_packed_conv(
+                    x.astype(cdt),
+                    kernel.astype(cdt),
+                    tile_channel_vector(g, p),
+                    tile_channel_vector(beta, p),
+                    p=p,
+                    residual=(
+                        residual.astype(cdt) if residual is not None else None
+                    ),
+                    pre_act=self.act if residual is not None else False,
+                    act=True if residual is not None else self.act,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                return y
+            y = conv(x)
+            y = bn(y, train=train)
+            if self.act:
+                y = nn.relu(y)
+            if residual is not None:
+                y = nn.relu(y + residual)
+            return y
+        if residual is not None:
+            y = self._unpacked(x, train)
+            return nn.relu(y + residual)
+        return self._unpacked(x, train)
+
+    def _unpacked(self, x, train: bool):
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
@@ -219,21 +285,71 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         inp = x.shape[-1] // (self.packed or 1)
-        y = ConvBN(self.features, 3, self.stride, packed=self.packed,
-                   policy=self.policy, name="cb1")(x, train=train)
-        y = ConvBN(self.features, 3, 1, packed=self.packed,
-                   policy=self.policy, name="cb2")(y, train=train)
-        if inp != self.features or self.stride > 1:
-            x = ConvBN(
-                self.features,
-                1,
-                self.stride,
-                act=False,
-                packed=self.packed,
-                policy=self.policy,
-                name="bypass",
-            )(x, train=train)
-        return nn.relu(y + x)
+        p = self.packed
+        pol = self.policy
+        has_bypass = inp != self.features or self.stride > 1
+        cb1 = ConvBN(self.features, 3, self.stride, packed=p,
+                     policy=pol, name="cb1")
+        bypass = (
+            ConvBN(self.features, 1, self.stride, act=False, packed=p,
+                   policy=pol, name="bypass")
+            if has_bypass
+            else None
+        )
+        cb2 = ConvBN(self.features, 3, 1, packed=p, policy=pol, name="cb2")
+
+        # Whole-block Pallas kernel (eval): conv1+BN+ReLU, conv2+BN+
+        # pre-ReLU, bypass projection, residual add, ReLU — one HBM
+        # read + one write for the entire block (ops/pallas_conv.py).
+        use_block = (
+            p > 0
+            and pol.fused_eval
+            and not train
+            and not self.is_initializing()
+            and self.stride == 1
+            and inp * p >= 128
+            and self.features * p >= 128
+            and 2 * inp <= 128
+            and 2 * self.features <= 128
+        )
+        if use_block:
+            import jax
+
+            from ubresnet_tpu.ops.packed import tile_channel_vector
+            from ubresnet_tpu.ops.pallas_conv import fused_basic_block
+
+            def fold(parts):
+                kernel, cbias, scale, bbias, mean, var = parts
+                g = scale.astype(jnp.float32) * jax.lax.rsqrt(var + BN_EPS)
+                beta = bbias.astype(jnp.float32) - mean * g
+                if cbias is not None:
+                    beta = beta + g * cbias.astype(jnp.float32)
+                return kernel, tile_channel_vector(g, p), tile_channel_vector(
+                    beta, p
+                )
+
+            cdt = pol.compute_dtype
+            k1, g1, b1 = fold(cb1(x, train=train, params_only=True))
+            dummy = jnp.zeros((1, 1, 1, p * self.features), cdt)
+            k2, g2, b2 = fold(cb2(dummy, train=train, params_only=True))
+            kb = gb = bb = None
+            if has_bypass:
+                kb, gb, bb = fold(bypass(x, train=train, params_only=True))
+            return fused_basic_block(
+                x.astype(cdt),
+                k1.astype(cdt), g1, b1,
+                k2.astype(cdt), g2, b2,
+                kb.astype(cdt) if kb is not None else None, gb, bb,
+                p=p,
+                interpret=jax.default_backend() != "tpu",
+            )
+
+        y = cb1(x, train=train)
+        if has_bypass:
+            x = bypass(x, train=train)
+        # cb2 carries the block tail (pre-add ReLU, +bypass, ReLU) so
+        # the packed eval path fuses it into the conv epilogue.
+        return cb2(y, train=train, residual=x)
 
 
 class DoubleResNet(nn.Module):
