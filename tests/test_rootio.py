@@ -1,0 +1,186 @@
+"""Native ROOT reader (cpp/rootio.cpp) vs the spec-conformant
+synthesizer (tests/root_synth.py).
+
+The reference reads its data through ROOT + larcv
+(/root/reference/deploy/run_ubresnet_precropped.py:83-95); neither is
+available here, so the oracle is a writer that follows the ROOT
+on-disk container format and larcv's streamer layouts (both
+generations' dictionary variants). See root_synth.py's docstring for
+the format coverage.
+"""
+import itertools
+
+import numpy as np
+import pytest
+
+from root_synth import (
+    RootFileWriter,
+    stream_event_image2d,
+    write_larcv_like,
+)
+
+rootio = pytest.importorskip("ubresnet_tpu.data.rootio")
+
+pytestmark = pytest.mark.skipif(
+    not rootio.native_available(), reason="no native toolchain"
+)
+
+
+def _read_all(path, truth):
+    with rootio.RootFile(path) as rf:
+        for prod, entries in truth.items():
+            tree = f"image2d_{prod}_tree"
+            branch = f"image2d_{prod}_branch"
+            for e, (arrs, metas, t_rse) in enumerate(entries):
+                rse, imgs = rf.read_event(tree, branch, e)
+                assert rse == t_rse
+                assert len(imgs) == len(arrs)
+                for img, arr, m in zip(imgs, arrs, metas):
+                    np.testing.assert_array_equal(img.pixels, arr)
+                    assert img.meta.min_x == pytest.approx(m["ox"])
+                    assert img.meta.max_y == pytest.approx(m["oy"])
+                    assert img.meta.width == pytest.approx(m["width"])
+                    assert img.meta.height == pytest.approx(m["height"])
+                    assert img.meta.plane == m["plane"]
+
+
+def test_container_walk(tmp_path):
+    """TKey scan finds branches/baskets; decoys + freed gaps skipped."""
+    path = str(tmp_path / "a.root")
+    write_larcv_like(path, producers=("wire", "segment"), n_entries=5,
+                     entries_per_basket=2)
+    with rootio.RootFile(path) as rf:
+        br = rf.branches()
+        assert br[("image2d_wire_tree", "image2d_wire_branch")] == {
+            "entries": 5, "baskets": 3,
+        }
+        classes = {k["class"] for k in rf.keys()}
+        assert {"TFile", "TTree", "TList", "TBasket"} <= classes
+
+
+def test_roundtrip_pixels_meta_rse(tmp_path):
+    path = str(tmp_path / "a.root")
+    truth = write_larcv_like(path, producers=("wire", "segment"),
+                             n_entries=5, planes=(0, 1, 2))
+    _read_all(path, truth)
+
+
+@pytest.mark.parametrize(
+    "intw,img_first,nested,tobj",
+    list(itertools.product([8, 4], [True, False], [True, False],
+                           [True, False])),
+)
+def test_streamer_layout_variants(tmp_path, intw, img_first, nested, tobj):
+    """Both larcv generations' dictionary layouts decode: int width,
+    Image2D member order, Point2D nesting, TObject base header."""
+    path = str(tmp_path / "v.root")
+    truth = write_larcv_like(
+        path, producers=("wire",), n_entries=3, int_width=intw,
+        img_first=img_first, nested_point=nested, tobject_base=tobj,
+    )
+    _read_all(path, truth)
+
+
+@pytest.mark.parametrize("comp", ["none", "zlib", "zstd"])
+def test_compression(tmp_path, comp):
+    path = str(tmp_path / "c.root")
+    truth = write_larcv_like(path, compression=comp, n_entries=4)
+    _read_all(path, truth)
+
+
+def test_multiframe_compression(tmp_path):
+    """Payloads split over multiple 9-byte-headed frames reassemble."""
+    path = str(tmp_path / "mf.root")
+    truth = write_larcv_like(path, rows=64, cols=48, frame_size=2048,
+                             n_entries=2)
+    _read_all(path, truth)
+
+
+def test_memberwise_diagnostic(tmp_path):
+    """Member-wise streamed vectors are unsupported — precise error,
+    not garbage."""
+    path = str(tmp_path / "mw.root")
+    write_larcv_like(path, memberwise=True, n_entries=2)
+    with rootio.RootFile(path) as rf:
+        with pytest.raises(IOError, match="member-wise"):
+            rf.read_event("image2d_wire_tree", "image2d_wire_branch", 0)
+
+
+def test_fixed_size_basket(tmp_path):
+    """Baskets without an offsets table use fNevBufSize stride."""
+    path = str(tmp_path / "fs.root")
+    w = RootFileWriter(path)
+    rng = np.random.RandomState(3)
+    arrs = [(rng.rand(8, 8) * 50).astype(np.float32) for _ in range(4)]
+    meta = {"ox": 0.0, "oy": 48.0, "width": 8.0, "height": 48.0, "plane": 1}
+    blobs = [
+        stream_event_image2d([(a, meta)], rse=(1, 2, i), producer="wire")
+        for i, a in enumerate(arrs)
+    ]
+    assert len({len(b) for b in blobs}) == 1
+    w.add_basket("image2d_wire_tree", "image2d_wire_branch", blobs,
+                 fixed_size=True)
+    w.close()
+    with rootio.RootFile(path) as rf:
+        for i, a in enumerate(arrs):
+            rse, imgs = rf.read_event("image2d_wire_tree",
+                                      "image2d_wire_branch", i)
+            assert rse == (1, 2, i)
+            np.testing.assert_array_equal(imgs[0].pixels, a)
+
+
+def test_raw_entry_access(tmp_path):
+    """read_raw returns the exact streamed blob (format debugging)."""
+    path = str(tmp_path / "raw.root")
+    rng = np.random.RandomState(1)
+    arr = (rng.rand(6, 5) * 9).astype(np.float32)
+    meta = {"ox": 1.0, "oy": 2.0, "width": 5.0, "height": 6.0, "plane": 0}
+    blob = stream_event_image2d([(arr, meta)], rse=(9, 8, 7))
+    w = RootFileWriter(path)
+    w.add_basket("image2d_wire_tree", "image2d_wire_branch", [blob])
+    w.close()
+    with rootio.RootFile(path) as rf:
+        assert rf.read_raw("image2d_wire_tree", "image2d_wire_branch", 0) == blob
+
+
+def test_errors(tmp_path):
+    path = str(tmp_path / "a.root")
+    write_larcv_like(path, n_entries=2)
+    with rootio.RootFile(path) as rf:
+        with pytest.raises(IOError):
+            rf.read_raw("image2d_wire_tree", "nope", 0)
+        with pytest.raises(IOError):
+            rf.read_event("image2d_wire_tree", "image2d_wire_branch", 99)
+    bad = tmp_path / "bad.root"
+    bad.write_bytes(b"not a root file at all" + b"\x00" * 100)
+    with pytest.raises(IOError):
+        rootio.RootFile(str(bad))
+
+
+def test_root_to_uevt_and_cli(tmp_path, capsys):
+    """Direct .root → UEVT conversion (VERDICT round-1 item 10) plus
+    the CLI surface (--inspect, --producers)."""
+    from ubresnet_tpu.cli.convert import main as convert_main
+    from ubresnet_tpu.data.uevt import EventFileReader
+
+    path = str(tmp_path / "ev.root")
+    out = str(tmp_path / "ev.uevt")
+    truth = write_larcv_like(
+        path, producers=("wire", "segment", "ts_keyspweight"), n_entries=6,
+    )
+    assert convert_main([path, out]) == 0
+    r = EventFileReader(out)
+    assert r.n_entries == 6
+    ent = r.read_entry(4)
+    assert set(ent) == {"wire", "segment", "ts_keyspweight"}
+    np.testing.assert_array_equal(ent["wire"][0].pixels,
+                                  truth["wire"][4][0][0])
+    assert r.rse(4) == truth["wire"][4][2]
+
+    assert convert_main(["--inspect", path]) == 0
+    cap = capsys.readouterr().out
+    assert "image2d_wire_tree" in cap and "decodes" in cap
+
+    out2 = str(tmp_path / "sel.uevt")
+    assert convert_main([path, out2, "--producers", "wire"]) == 0
+    assert EventFileReader(out2).producers(0) == ["wire"]

@@ -1,8 +1,16 @@
 """Data conversion CLI — bring reference (larcv/ROOT) data into UEVT.
 
-ROOT deserialization of larcv's custom classes requires the larcv
-C++ stack, which users of the reference already have. Export with
-PyROOT on that side (one loop):
+Preferred path — direct, no ROOT installation needed:
+
+    python -m ubresnet_tpu.cli.convert events.root events.uevt
+    python -m ubresnet_tpu.cli.convert --inspect events.root   # diagnose
+
+The native reader (ubresnet_tpu/cpp/rootio.cpp via data/rootio.py)
+walks the ROOT container format itself and decodes unsplit
+object-wise-streamed larcv EventImage2D branches. Files with
+member-wise or fully-split trees are reported with a diagnostic; for
+those, fall back to the PyROOT-side NPZ export below (one loop, on
+the reference side where larcv is already installed):
 
     # reference-side export (PyROOT + larcv), writes NPZ per entry set
     io = larcv.IOManager(larcv.IOManager.kREAD)
@@ -80,12 +88,40 @@ def npz_to_uevt(npz_path: str, out_path: str, verbose: bool = False) -> int:
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser(description="Convert NPZ event dumps to UEVT")
-    ap.add_argument("input", help="NPZ file (see module docstring for layout)")
-    ap.add_argument("output", help="output UEVT file")
+    ap = argparse.ArgumentParser(
+        description="Convert reference data (larcv .root directly via the "
+        "native reader, or NPZ exports) to UEVT"
+    )
+    ap.add_argument("input", help=".root (native reader) or .npz "
+                    "(see module docstring for the export layout)")
+    ap.add_argument("output", nargs="?", help="output UEVT file")
+    ap.add_argument(
+        "--producers",
+        help="comma-separated larcv producers to convert (.root only; "
+        "default: every image2d tree found)",
+    )
+    ap.add_argument(
+        "--inspect",
+        action="store_true",
+        help="print the ROOT file's keys/branches/decode status and exit",
+    )
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
-    n = npz_to_uevt(args.input, args.output, args.verbose)
+
+    if args.inspect:
+        from ubresnet_tpu.data.rootio import inspect_file
+
+        print(inspect_file(args.input))
+        return 0
+    if not args.output:
+        ap.error("output is required unless --inspect")
+    if args.input.endswith(".root"):
+        from ubresnet_tpu.data.rootio import root_to_uevt
+
+        producers = args.producers.split(",") if args.producers else None
+        n = root_to_uevt(args.input, args.output, producers, args.verbose)
+    else:
+        n = npz_to_uevt(args.input, args.output, args.verbose)
     print(f"wrote {n} entries to {args.output}")
     return 0
 
