@@ -94,3 +94,80 @@ def test_fused_modules_match_xla_path(rng, mk, shape, packed):
     a = m_f.apply(v, x, train=False)
     b = m_u.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+# ---------------------------------------------------- round-2 kernels
+
+
+@pytest.mark.parametrize(
+    "p,ci,co,H,W",
+    [(4, 64, 32, 8, 64), (8, 32, 16, 16, 128), (8, 16, 16, 8, 64)],
+)
+def test_fused_deconv_matches_packed(rng, p, ci, co, H, W):
+    """Pallas deconv2x ≡ XLA packed_deconv2x (torch ConvTranspose2d
+    k4/s2/p1 semantics, common_layers.py:122-132)."""
+    from ubresnet_tpu.ops.packed import packed_deconv2x
+    from ubresnet_tpu.ops.pallas_conv import fused_packed_deconv2x
+
+    x = pack(jnp.asarray(rng.randn(2, H, W, ci), jnp.float32), p)
+    w = jnp.asarray(rng.randn(4, 4, ci, co) * 0.1, jnp.float32)
+    want = packed_deconv2x(x, w, p)
+    got = fused_packed_deconv2x(x, w, p=p, th=4, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "p,ci,co,H,W", [(4, 32, 32, 8, 64), (8, 16, 16, 16, 128)]
+)
+def test_fused_dual_block_matches_concat_block(rng, p, ci, co, H, W):
+    """BasicBlock over an implicit concat of two streams ≡ the
+    reference concat + BasicBlock math (common_layers.py:18-58)."""
+    from ubresnet_tpu.ops.packed import tile_channel_vector as tcv
+    from ubresnet_tpu.ops.pallas_conv import fused_dual_block
+
+    def conv(x, w):
+        kh = w.shape[0]
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(kh // 2,) * 2] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    A = jnp.asarray(rng.randn(2, H, W, ci), jnp.float32)
+    B = jnp.asarray(rng.randn(2, H, W, ci), jnp.float32)
+    w1 = jnp.asarray(rng.randn(3, 3, 2 * ci, co) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(3, 3, co, co) * 0.1, jnp.float32)
+    wb = jnp.asarray(rng.randn(1, 1, 2 * ci, co) * 0.1, jnp.float32)
+    g1, g2, gb = (jnp.asarray(rng.rand(co) + 0.5, jnp.float32) for _ in range(3))
+    b1, b2, bb = (jnp.asarray(rng.randn(co) * 0.1, jnp.float32) for _ in range(3))
+    cat = jnp.concatenate([A, B], -1)
+    y1 = jax.nn.relu(conv(cat, w1) * g1 + b1)
+    y2 = jax.nn.relu(conv(y1, w2) * g2 + b2)  # pre-add ReLU
+    want = jax.nn.relu(y2 + conv(cat, wb) * gb + bb)
+    got = fused_dual_block(
+        pack(A, p), pack(B, p),
+        w1, tcv(g1, p), tcv(b1, p),
+        w2, tcv(g2, p), tcv(b2, p),
+        wb, tcv(gb, p), tcv(bb, p),
+        p=p, th=4, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(unpack(got, p)), np.asarray(want), atol=2e-4
+    )
+
+
+@pytest.mark.parametrize(
+    "p,ci,H,W", [(8, 16, 16, 128), (8, 16, 64, 256), (4, 32, 16, 64)]
+)
+def test_fused_pool_matches_maxpool(rng, p, ci, H, W):
+    """Pallas 3x3/s2 maxpool ≡ torch MaxPool2d(3,2,1) (stem pool,
+    ub_uresnet.py:44) on non-negative input — bit-exact."""
+    from flax import linen as nn
+
+    from ubresnet_tpu.ops.pallas_conv import fused_pool3x3s2
+
+    x = jnp.asarray(np.abs(rng.randn(2, H, W, ci)), jnp.float32)
+    want = nn.max_pool(x, (3, 3), (2, 2), [(1, 1), (1, 1)])
+    got = unpack(fused_pool3x3s2(pack(x, p), p=p, th=4, interpret=True), p)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

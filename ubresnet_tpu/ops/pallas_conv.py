@@ -32,6 +32,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -317,6 +318,599 @@ def fused_packed_conv(
         interpret=interpret,
     )(*args)
     return out.reshape(bsz, h, wc, pco)
+
+
+# -------------------------------------------------- 3x3/s2 maxpool
+
+
+def _pool_kernel(
+    x_hbm, s1_ref, s2_ref, out_ref, xs, sems, *, ci: int, th: int,
+    wc: int, nh: int,
+):
+    """3x3 stride-2 pad-1 maxpool on a packed tensor (the UResNet stem
+    pool, ub_uresnet.py:44). Grid over OUTPUT row tiles of th rows;
+    each program DMAs the 2*th+1 input rows it needs. Row taps are
+    stride-2 sublane views; column taps are lane rolls with _combo
+    cross-cell fill; the final 2-cells→1-cell lane decimation is two
+    0/1 selection matmuls (exact: one term per output lane)."""
+    idx = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    m = th * wc
+
+    def _dma(j, slot, op):
+        bj = j // nh
+        hj = j % nh
+
+        def fill(src_row, dst_row, nrows):
+            dma = pltpu.make_async_copy(
+                x_hbm.at[bj, pl.ds(src_row * wc, nrows * wc)],
+                xs.at[slot, pl.ds(dst_row * wc, nrows * wc)],
+                sems.at[slot],
+            )
+            dma.start() if op == "start" else dma.wait()
+
+        if nh == 1:
+            fill(0, 1, 2 * th)
+        else:
+
+            @pl.when(hj == 0)
+            def _():
+                fill(0, 1, 2 * th)
+
+            @pl.when(hj > 0)
+            def _():
+                fill(2 * hj * th - 1, 0, 2 * th + 1)
+
+    slot = jax.lax.rem(idx, 2)
+
+    @pl.when(idx == 0)
+    def _():
+        _dma(idx, slot, "start")
+
+    @pl.when(idx + 1 < nprog)
+    def _():
+        _dma(idx + 1, jax.lax.rem(idx + 1, 2), "start")
+
+    _dma(idx, slot, "wait")
+    hj = idx % nh
+
+    @pl.when(hj == 0)  # pad row -1 (zero: pool input is post-ReLU >= 0)
+    def _():
+        xs[slot, pl.ds(0, wc)] = jnp.zeros((wc, xs.shape[2]), xs.dtype)
+
+    xall = xs[slot]
+    f32 = jnp.float32
+
+    def zrow(k):  # input rows 2j + k for j in [0, th)
+        v = xall[k * wc : k * wc + 2 * m]
+        return v.reshape(th, 2 * wc, v.shape[-1])[:, :wc].reshape(
+            m, v.shape[-1]
+        )
+
+    M = jnp.maximum(jnp.maximum(zrow(0), zrow(1)), zrow(2)).astype(f32)
+    combo = _combo(M, ci, wc).astype(f32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, M.shape, 1)
+    right = jnp.where(
+        lane < ci, combo, pltpu.roll(M, shift=ci, axis=1)
+    )  # col c-1
+    cl = pltpu.roll(combo, shift=COMBO - 2 * ci, axis=1)
+    left = jnp.where(
+        lane >= COMBO - ci, cl, pltpu.roll(M, shift=COMBO - ci, axis=1)
+    )  # col c+1
+    N = jnp.maximum(jnp.maximum(M, right), left)
+    pair = N.reshape(m // 2, 2, N.shape[-1])
+    out = jnp.dot(
+        pair[:, 0], s1_ref[...], preferred_element_type=f32
+    ) + jnp.dot(pair[:, 1], s2_ref[...], preferred_element_type=f32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "th", "interpret"))
+def fused_pool3x3s2(
+    x: jax.Array, *, p: int, th: int = 32, interpret: bool = False
+) -> jax.Array:
+    """torch MaxPool2d(3, stride=2, padding=1) on a packed tensor with
+    NON-NEGATIVE values (the stem pool follows a ReLU; zero padding is
+    then identical to torch's -inf padding).
+
+    x: (b, h, wc, p*ci) with p*ci == 128 and even h, wc. Returns
+    (b, h/2, wc/2, p*ci) — the same pack view, half the cells."""
+    bsz, h, wc, pci = x.shape
+    ci = pci // p
+    assert pci == COMBO, "pool kernel expects exactly one lane tile"
+    assert h % 2 == 0 and wc % 2 == 0 and p % 2 == 0
+    ho = h // 2
+    while ho % th:
+        th //= 2
+    # selection matrices: out offset v (half-cell A) <- in offset 2v;
+    # out offset v + p/2 (half-cell B) <- in offset 2v.
+    s1 = np.zeros((COMBO, COMBO), np.float32)
+    s2 = np.zeros((COMBO, COMBO), np.float32)
+    for v in range(p // 2):
+        for c in range(ci):
+            s1[2 * v * ci + c, v * ci + c] = 1.0
+            s2[2 * v * ci + c, (v + p // 2) * ci + c] = 1.0
+    nh = ho // th
+    grid = (bsz * nh,)
+    kernel = functools.partial(_pool_kernel, ci=ci, th=th, wc=wc, nh=nh)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th * wc // 2, pci),
+            lambda i: (i // nh, i % nh, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, ho * wc // 2, pci), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, (2 * th + 2) * wc, pci), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * ho * wc // 2 * 2 * COMBO * COMBO,
+            bytes_accessed=bsz * h * wc * pci * x.dtype.itemsize * 5 // 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x.reshape(bsz, h * wc, pci), jnp.asarray(s1), jnp.asarray(s2))
+    return out.reshape(bsz, ho, wc // 2, pci)
+
+
+# ------------------------------------------------ dual-input block
+
+
+def _dual_block_kernel(
+    a_hbm,
+    b_hbm,
+    wm1a_ref,
+    wh1a_ref,
+    wm1b_ref,
+    wh1b_ref,
+    g1_ref,
+    b1_ref,
+    wm2_ref,
+    wh2_ref,
+    g2_ref,
+    b2_ref,
+    wba_ref,
+    wbb_ref,
+    gb_ref,
+    bb_ref,
+    out_ref,
+    xsa,
+    xsb,
+    sems,
+    *,
+    cia: int,
+    cib: int,
+    co: int,
+    th: int,
+    wc: int,
+    nh: int,
+):
+    """BasicBlock over an implicit channel-concat of two streams —
+    conv(concat[a, b]) ≡ conv_a(a) + conv_b(b), so the decoder's
+    skip join (DecoderBlock: deconv → concat → DoubleResNet,
+    common_layers.py:122-132) never materialises the packed concat.
+    Everything else matches _block_kernel (two 3x3 convs, pre-add
+    ReLU, 1x1 bypass projection over both streams, residual add,
+    final ReLU) with both inputs double-buffered from HBM."""
+    idx = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    hb = 2
+    m = th * wc
+    m1 = (th + 2) * wc
+
+    def _dma(j, slot, op):
+        bj = j // nh
+        hj = j % nh
+
+        def fill(xs, src, sem_i, src_row, dst_row, nrows):
+            dma = pltpu.make_async_copy(
+                src.at[bj, pl.ds(src_row * wc, nrows * wc)],
+                xs.at[slot, pl.ds(dst_row * wc, nrows * wc)],
+                sems.at[slot, sem_i],
+            )
+            dma.start() if op == "start" else dma.wait()
+
+        def both(src_row, dst_row, nrows):
+            fill(xsa, a_hbm, 0, src_row, dst_row, nrows)
+            fill(xsb, b_hbm, 1, src_row, dst_row, nrows)
+
+        if nh == 1:
+            both(0, hb, th)
+        else:
+
+            @pl.when(jnp.logical_and(hj > 0, hj < nh - 1))
+            def _():
+                both(hj * th - hb, 0, th + 2 * hb)
+
+            @pl.when(hj == 0)
+            def _():
+                both(0, hb, th + hb)
+
+            @pl.when(hj == nh - 1)
+            def _():
+                both(hj * th - hb, 0, th + hb)
+
+    slot = jax.lax.rem(idx, 2)
+
+    @pl.when(idx == 0)
+    def _():
+        _dma(idx, slot, "start")
+
+    @pl.when(idx + 1 < nprog)
+    def _():
+        _dma(idx + 1, jax.lax.rem(idx + 1, 2), "start")
+
+    _dma(idx, slot, "wait")
+    hj = idx % nh
+    hrows = hb * wc
+
+    def zero_rows(xs, row0):
+        xs[slot, pl.ds(row0, hrows)] = jnp.zeros(
+            (hrows, xs.shape[2]), xs.dtype
+        )
+
+    if nh > 1:
+
+        @pl.when(hj == 0)
+        def _():
+            zero_rows(xsa, 0)
+            zero_rows(xsb, 0)
+
+        @pl.when(hj == nh - 1)
+        def _():
+            zero_rows(xsa, (hb + th) * wc)
+            zero_rows(xsb, (hb + th) * wc)
+
+    else:
+        for xs in (xsa, xsb):
+            zero_rows(xs, 0)
+            zero_rows(xs, (hb + th) * wc)
+
+    pco = out_ref.shape[-1]
+    xa = xsa[slot]
+    xb = xsb[slot]
+    dt = xa.dtype
+
+    ca = _combo(xa, cia, wc)
+    cb = _combo(xb, cib, wc)
+    acc1 = jnp.zeros((m1, pco), jnp.float32)
+    for k in range(3):
+        r0 = k * wc
+        for x2, c2, wm, wh in (
+            (xa, ca, wm1a_ref, wh1a_ref),
+            (xb, cb, wm1b_ref, wh1b_ref),
+        ):
+            acc1 = acc1 + jnp.dot(
+                x2[r0 : r0 + m1], wm[k], preferred_element_type=jnp.float32
+            )
+            acc1 = acc1 + jnp.dot(
+                c2[r0 : r0 + m1], wh[k], preferred_element_type=jnp.float32
+            )
+    y1 = jnp.maximum(acc1 * g1_ref[0] + b1_ref[0], 0.0)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (m1, 1), 0)
+    y1 = jnp.where(jnp.logical_and(hj == 0, ridx < wc), 0.0, y1)
+    y1 = jnp.where(
+        jnp.logical_and(hj == nh - 1, ridx >= m1 - wc), 0.0, y1
+    ).astype(dt)
+
+    c2nd = _combo(y1, co, wc)
+    acc2 = jnp.zeros((m, pco), jnp.float32)
+    for k in range(3):
+        r0 = k * wc
+        acc2 = acc2 + jnp.dot(
+            y1[r0 : r0 + m], wm2_ref[k], preferred_element_type=jnp.float32
+        )
+        acc2 = acc2 + jnp.dot(
+            c2nd[r0 : r0 + m], wh2_ref[k], preferred_element_type=jnp.float32
+        )
+    y2 = jnp.maximum(acc2 * g2_ref[0] + b2_ref[0], 0.0)  # pre-add ReLU
+
+    res = (
+        jnp.dot(
+            xa[hrows : hrows + m], wba_ref[0],
+            preferred_element_type=jnp.float32,
+        )
+        + jnp.dot(
+            xb[hrows : hrows + m], wbb_ref[0],
+            preferred_element_type=jnp.float32,
+        )
+    ) * gb_ref[0] + bb_ref[0]
+    out_ref[0] = jnp.maximum(y2 + res, 0.0).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "th", "interpret"))
+def fused_dual_block(
+    a: jax.Array,
+    b: jax.Array,
+    w1: jax.Array,
+    g1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    g2: jax.Array,
+    b2: jax.Array,
+    wb: jax.Array,
+    gb: jax.Array,
+    bb: jax.Array,
+    *,
+    p: int,
+    th: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """BasicBlock over concat([a, b], channels), eval mode, without
+    materialising the concat. a: (B, H, WC, p*cia), b: same spatial,
+    p*cib channels; w1 (3, 3, cia+cib, co), w2 (3, 3, co, co),
+    wb (1, 1, cia+cib, co) — checkpoint layouts; the kernels split by
+    input stream here. g*/b* folded (p*co,) affines."""
+    bsz, h, wc, pcia = a.shape
+    _, _, _, pcib = b.shape
+    _, _, cin, co = w1.shape
+    cia, cib = pcia // p, pcib // p
+    assert cin == cia + cib, (cin, cia, cib)
+    pco = p * co
+    assert pcia >= COMBO and pcib >= COMBO and pco >= COMBO
+    assert 2 * cia <= COMBO and 2 * cib <= COMBO and 2 * co <= COMBO
+    while h % th:
+        th //= 2
+    wm1a, wh1a = halo_weights(w1[:, :, :cia], p)
+    wm1b, wh1b = halo_weights(w1[:, :, cia:], p)
+    wm2, wh2 = halo_weights(w2, p)
+    wba, _ = halo_weights(wb[:, :, :cia], p)
+    wbb, _ = halo_weights(wb[:, :, cia:], p)
+    nh = h // th
+    grid = (bsz * nh,)
+    kernel = functools.partial(
+        _dual_block_kernel,
+        cia=cia, cib=cib, co=co, th=th, wc=wc, nh=nh,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    dt = a.dtype
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2 + [vmem] * 14,
+        out_specs=pl.BlockSpec(
+            (1, th * wc, pco),
+            lambda i: (i // nh, i % nh, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, h * wc, pco), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, (th + 4) * wc, pcia), dt),
+            pltpu.VMEM((2, (th + 4) * wc, pcib), dt),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h * wc
+            * (3 * (pcia + pcib + 2 * COMBO) * pco
+               + 3 * (pco + COMBO) * pco
+               + (pcia + pcib) * pco),
+            bytes_accessed=bsz * h * wc * (pcia + pcib + pco) * dt.itemsize
+            if hasattr(dt, "itemsize")
+            else 0,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        a.reshape(bsz, h * wc, pcia),
+        b.reshape(bsz, h * wc, pcib),
+        wm1a.astype(dt), wh1a.astype(dt),
+        wm1b.astype(dt), wh1b.astype(dt),
+        g1.reshape(1, pco).astype(jnp.float32),
+        b1.reshape(1, pco).astype(jnp.float32),
+        wm2.astype(dt), wh2.astype(dt),
+        g2.reshape(1, pco).astype(jnp.float32),
+        b2.reshape(1, pco).astype(jnp.float32),
+        wba.astype(dt), wbb.astype(dt),
+        gb.reshape(1, pco).astype(jnp.float32),
+        bb.reshape(1, pco).astype(jnp.float32),
+    )
+    return out.reshape(bsz, h, wc, pco)
+
+
+# ---------------------------------------------------- deconv2x kernel
+
+
+def deconv_weights(w: jax.Array, p: int):
+    """(4,4,ci,co) ConvTranspose2d natural-layout kernel → per-(parity,
+    row-tap) matmul weights for the packed deconv kernel:
+
+    Wmain (2, 2, p*ci, 2p*co), Whalo (2, 2, COMBO, 2p*co), indexed
+    [a, s] with a = output row parity and s the row tap:
+      a=0: s=0 reads input row r (k_h=1), s=1 row r-1 (k_h=3)
+      a=1: s=0 reads input row r (k_h=2), s=1 row r+1 (k_h=0)
+    (torch semantics: out[o] += w[k] x[i] where o = 2i + k - 1).
+
+    Output offsets oo ∈ [0, 2p) live at absolute column 2p·m + oo; the
+    two column taps per offset are k_w ≡ oo+1 (mod 2) at input offset
+    u = (oo+1-k_w)/2. u = -1 hits the previous cell's last column and
+    u = p the next cell's first — both inside one COMBO block."""
+    kh, kw, ci, co = w.shape
+    assert kh == 4 and kw == 4, "deconv kernel derived for k=4 s=2 p=1"
+    pci, pco2 = p * ci, 2 * p * co
+    wm = jnp.zeros((2, 2, pci, pco2), w.dtype)
+    wh = jnp.zeros((2, 2, COMBO, pco2), w.dtype)
+    krow = {(0, 0): 1, (0, 1): 3, (1, 0): 2, (1, 1): 0}
+    for a in (0, 1):
+        for s in (0, 1):
+            kr = krow[(a, s)]
+            for oo in range(2 * p):
+                for kc in range(4):
+                    if (oo + 1 - kc) % 2:
+                        continue
+                    u = (oo + 1 - kc) // 2
+                    col = slice(oo * co, (oo + 1) * co)
+                    if 0 <= u < p:
+                        wm = wm.at[a, s, u * ci : (u + 1) * ci, col].add(
+                            w[kr, kc]
+                        )
+                    elif u == -1:
+                        wh = wh.at[a, s, 0:ci, col].add(w[kr, kc])
+                    else:  # u == p
+                        wh = wh.at[a, s, ci : 2 * ci, col].add(w[kr, kc])
+    return wm, wh
+
+
+def _deconv_kernel(
+    x_hbm, wm_ref, wh_ref, out_ref, xs, sems, *, ci: int, th: int,
+    wc: int, nh: int,
+):
+    """Grid (B * H/th) over INPUT row tiles; each program emits 2*th
+    output rows (both parities, interleaved). Same flat layout and
+    double-buffered DMA as _conv_kernel with a 1-row halo."""
+    idx = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    m = th * wc
+
+    def _dma(j, slot, op):
+        bj = j // nh
+        hj = j % nh
+
+        def fill(src_row, dst_row, nrows):
+            dma = pltpu.make_async_copy(
+                x_hbm.at[bj, pl.ds(src_row * wc, nrows * wc)],
+                xs.at[slot, pl.ds(dst_row * wc, nrows * wc)],
+                sems.at[slot],
+            )
+            dma.start() if op == "start" else dma.wait()
+
+        if nh == 1:
+            fill(0, wc // wc, th)  # dst row 1
+        else:
+
+            @pl.when(jnp.logical_and(hj > 0, hj < nh - 1))
+            def _():
+                fill(hj * th - 1, 0, th + 2)
+
+            @pl.when(hj == 0)
+            def _():
+                fill(0, 1, th + 1)
+
+            @pl.when(hj == nh - 1)
+            def _():
+                fill(hj * th - 1, 0, th + 1)
+
+    slot = jax.lax.rem(idx, 2)
+
+    @pl.when(idx == 0)
+    def _():
+        _dma(idx, slot, "start")
+
+    @pl.when(idx + 1 < nprog)
+    def _():
+        _dma(idx + 1, jax.lax.rem(idx + 1, 2), "start")
+
+    _dma(idx, slot, "wait")
+    hj = idx % nh
+
+    def zero_rows(row0):
+        xs[slot, pl.ds(row0, wc)] = jnp.zeros((wc, xs.shape[2]), xs.dtype)
+
+    if nh > 1:
+
+        @pl.when(hj == 0)
+        def _():
+            zero_rows(0)
+
+        @pl.when(hj == nh - 1)
+        def _():
+            zero_rows((1 + th) * wc)
+
+    else:
+        zero_rows(0)
+        zero_rows((1 + th) * wc)
+
+    pco2 = out_ref.shape[-1]
+    xall = xs[slot]
+    call = _combo(xall, ci, wc)
+
+    def parity(a):
+        acc = jnp.dot(
+            xall[wc : wc + m], wm_ref[a, 0],
+            preferred_element_type=jnp.float32,
+        ) + jnp.dot(
+            call[wc : wc + m], wh_ref[a, 0],
+            preferred_element_type=jnp.float32,
+        )
+        off = 0 if a == 0 else 2 * wc  # row r-1 / r+1
+        acc = acc + jnp.dot(
+            xall[off : off + m], wm_ref[a, 1],
+            preferred_element_type=jnp.float32,
+        ) + jnp.dot(
+            call[off : off + m], wh_ref[a, 1],
+            preferred_element_type=jnp.float32,
+        )
+        return acc
+
+    y0 = parity(0).reshape(th, wc, pco2)
+    y1 = parity(1).reshape(th, wc, pco2)
+    out = jnp.stack([y0, y1], axis=1).reshape(2 * m, pco2)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "th", "interpret"))
+def fused_packed_deconv2x(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    p: int,
+    th: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """ConvTranspose2d(k=4, s=2, p=1, bias=False) on a packed tensor —
+    Pallas form of ops/packed.py:packed_deconv2x (reference motif:
+    common_layers.py:122-132). Exact 2x upsample only (every decoder
+    stage in the packed zone is exact-2x at 512-class shapes).
+
+    x: (b, h, wc, p*ci); w: (4, 4, ci, co) natural ConvTranspose
+    layout. Returns (b, 2h, 2wc, p*co) — bit-identical layout to the
+    XLA packed path (out offsets 2p·m+oo ≡ packed cells 2m + oo//p)."""
+    bsz, h, wc, pci = x.shape
+    kh, kw, ci, co = w.shape
+    assert pci == p * ci, (pci, p, ci)
+    assert pci >= COMBO and 2 * ci <= COMBO
+    while h % th:
+        th //= 2
+    wm, wh = deconv_weights(w, p)
+    nh = h // th
+    grid = (bsz * nh,)
+    pco2 = 2 * p * co
+    kernel = functools.partial(
+        _deconv_kernel, ci=ci, th=th, wc=wc, nh=nh
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2 * th * wc, pco2),
+            lambda i: (i // nh, i % nh, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, 2 * h * wc, pco2), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, (th + 2) * wc, pci), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h * wc * 4 * (pci + COMBO) * pco2,
+            bytes_accessed=bsz * h * wc * (pci + 2 * pco2) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x.reshape(bsz, h * wc, pci), wm.astype(x.dtype), wh.astype(x.dtype))
+    return out.reshape(bsz, 2 * h, 2 * wc, p * co)
 
 
 # ------------------------------------------------- whole-block kernel
