@@ -275,6 +275,9 @@ def get_baselines() -> dict:
 
 
 def main():
+    from ubresnet_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     tpu = measure_tpu()
     train = measure_tpu_train()
     baselines = get_baselines()

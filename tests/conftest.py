@@ -22,6 +22,10 @@ jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: jit compiles dominate suite runtime
 jax.config.update("jax_compilation_cache_dir", "/tmp/ubtpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# rbg PRNG: threefry inlines a hash network per random.normal — a
+# jitted model.init with ~60 initialisers took 140 s to compile on
+# XLA:CPU (11 s with rbg). Same default as the CLIs (utils/platform).
+jax.config.update("jax_default_prng_impl", "rbg")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -33,11 +33,14 @@ def test_packed_eval_matches_unpacked(rng):
     x = jnp.asarray(rng.rand(2, 64, 64, 1).astype(np.float32) * 10)
     model = UResNet(config=CFG, policy=F32)
     variables = model.init(jax.random.PRNGKey(0), x)
-    ref = model.apply(variables, x)
-    got = UResNet(config=CFG, policy=F32P).apply(variables, x)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3,
-                               atol=1e-4)
-    agree = (np.asarray(got).argmax(-1) == np.asarray(ref).argmax(-1)).mean()
+    ref = np.asarray(model.apply(variables, x))
+    got = np.asarray(UResNet(config=CFG, policy=F32P).apply(variables, x))
+    # Random-init logits reach O(1e4); f32 summation-order noise scales
+    # with the logit magnitude, so compare relative to that scale (an
+    # elementwise rtol trips on near-zero logits).
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 1e-5 * scale
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
     assert agree >= 0.999
 
 

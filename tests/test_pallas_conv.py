@@ -171,3 +171,26 @@ def test_fused_pool_matches_maxpool(rng, p, ci, H, W):
     got = unpack(fused_pool3x3s2(pack(x, p), p=p, th=4, interpret=True), p)
     assert got.shape == want.shape
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_full_model_fused_eval_matches_xla(rng):
+    """Whole UResNet, fused_eval vs XLA packed path, eval mode: the
+    Pallas-complete packed zone (stem pool, blocks, deconvs, dual skip
+    joins, head, classifier) reproduces the XLA path to f32 reordering
+    noise, with identical parameters."""
+    from ubresnet_tpu.models import get_model
+
+    polF = dataclasses.replace(Policy.f32(), pack_width=8, fused_eval=True)
+    polU = dataclasses.replace(polF, fused_eval=False)
+    x = jnp.asarray(rng.rand(1, 64, 64, 1), jnp.float32)
+    mF = get_model("uresnet", policy=polF, input_channels=1, inplanes=16)
+    mU = get_model("uresnet", policy=polU, input_channels=1, inplanes=16)
+    v = mU.init(jax.random.PRNGKey(0), x, train=False)
+    a = mU.apply(v, x, train=False, logits=True)
+    b = mF.apply(v, x, train=False, logits=True)
+    # random-init logits are O(100); compare relative to their scale
+    scale = float(jnp.abs(a).max())
+    assert float(jnp.abs(a - b).max()) < 1e-5 * scale
+    assert float(
+        (jnp.argmax(a, -1) == jnp.argmax(b, -1)).mean()
+    ) == 1.0

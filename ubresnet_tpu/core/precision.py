@@ -32,19 +32,24 @@ class Policy:
     # `pack_width` columns into channels so tiles stay lane-full.
     # 0 disables. 8 is the sweet spot for 16-32 channel stages.
     pack_width: int = 0
-    # Pallas fused conv / whole-BasicBlock kernels on packed eval paths
-    # (ops/pallas_conv.py): fewer MXU passes (halo matmul) + fused
-    # epilogues. Isolated blocks run 1.4-1.7x faster than the XLA
-    # path, but model-wide XLA inserts full-tensor layout-conversion
-    # copies at every XLA-conv <-> pallas boundary (~4.5 GB per
-    # batch-64 forward, measured in the compiled HLO), erasing the
-    # gain until the remaining packed-zone ops (deconv, concat, pool)
-    # are also pallas. Off by default; an opt-in experimental path.
+    # Pallas fused conv / whole-BasicBlock / deconv2x / dual-input /
+    # pool kernels on packed eval paths (ops/pallas_conv.py): fewer
+    # MXU passes (halo matmul) + fused epilogues. With the packed zone
+    # Pallas-complete (stem pool, blocks, deconvs, skip joins, head,
+    # classifier) there are no XLA<->Pallas layout boundaries left and
+    # the fused path wins model-wide: 688 vs 532 crops/s measured on
+    # the real chip (batch-64 512x512 sparse-H2D forward). Eval-only
+    # (train steps keep the differentiable XLA packed path). On
+    # non-TPU backends the kernels run in interpret mode, so default
+    # it on only when the backend is TPU.
     fused_eval: bool = False
 
     @staticmethod
     def tpu() -> "Policy":
-        return Policy(pack_width=8)
+        import jax
+
+        return Policy(pack_width=8,
+                      fused_eval=jax.default_backend() == "tpu")
 
     @staticmethod
     def f32() -> "Policy":

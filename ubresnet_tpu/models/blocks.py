@@ -37,6 +37,26 @@ BN_MOMENTUM = 0.9  # flax decay == 1 - torch momentum(0.1)
 BN_EPS = 1e-5
 
 
+def _repack(x, p_from: int, p_to: int):
+    """Change the pack-factor VIEW of a packed tensor — pure reshapes
+    (row-major packed layouts at different p are the same bytes), so
+    fused kernels can renormalise to p_eff = 128/ci for full lanes and
+    minimal MXU passes regardless of the stage's pack factor."""
+    if p_from == p_to:
+        return x
+    from ubresnet_tpu.ops.packed import pack, unpack
+
+    return pack(unpack(x, p_from), p_to)
+
+
+def _p_eff(p: int, ci: int, wc_p: int) -> int:
+    """Lane-filling pack factor for a fused kernel: 128/ci when the
+    tensor can be re-viewed that way, else the stage factor."""
+    if ci <= 128 and 128 % ci == 0 and p * ci >= 128 and wc_p % (128 // ci) == 0:
+        return 128 // ci
+    return p
+
+
 def msra_normal():
     """Reference init: normal(0, sqrt(2/n)), n = kh*kw*out_channels
     (ub_uresnet.py:72-79). Kernel layout here is HWIO."""
@@ -196,12 +216,13 @@ class ConvBN(nn.Module):
                     dummy, train=train, params_only=True
                 )
                 return kernel, cbias, scale, bbias, mean, var
+            pe = _p_eff(p, ci, x.shape[2] * p)
             use_fused = (
                 self.policy.fused_eval
                 and not train
                 and not self.is_initializing()
                 and self.stride == 1
-                and x.shape[-1] >= 128
+                and ci * pe >= 128
                 and 2 * (self.kernel // 2) * ci <= 128
             )
             if use_fused:
@@ -218,19 +239,21 @@ class ConvBN(nn.Module):
                 if cbias is not None:
                     beta = beta + g * cbias.astype(jnp.float32)
                 y = fused_packed_conv(
-                    x.astype(cdt),
+                    _repack(x.astype(cdt), p, pe),
                     kernel.astype(cdt),
-                    tile_channel_vector(g, p),
-                    tile_channel_vector(beta, p),
-                    p=p,
+                    tile_channel_vector(g, pe),
+                    tile_channel_vector(beta, pe),
+                    p=pe,
                     residual=(
-                        residual.astype(cdt) if residual is not None else None
+                        _repack(residual.astype(cdt), p, pe)
+                        if residual is not None
+                        else None
                     ),
                     pre_act=self.act if residual is not None else False,
                     act=True if residual is not None else self.act,
                     interpret=jax.default_backend() != "tpu",
                 )
-                return y
+                return _repack(y, pe, p)
             y = conv(x)
             y = bn(y, train=train)
             if self.act:
@@ -283,10 +306,18 @@ class BasicBlock(nn.Module):
     policy: Policy = Policy()
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
-        inp = x.shape[-1] // (self.packed or 1)
+    def __call__(self, x, *, train: bool, dual=None):
+        """``dual``: optional second input stream — the block then acts
+        on the implicit channel-concat [x, dual] (the decoder skip
+        join). On the fused eval path the concat never materialises
+        (ops/pallas_conv.py:fused_dual_block); otherwise it falls back
+        to an explicit concat. Parameter shapes are identical either
+        way (conv kernels carry the concat width)."""
         p = self.packed
         pol = self.policy
+        c_x = x.shape[-1] // (p or 1)
+        c_d = dual.shape[-1] // (p or 1) if dual is not None else 0
+        inp = c_x + c_d
         has_bypass = inp != self.features or self.stride > 1
         cb1 = ConvBN(self.features, 3, self.stride, packed=p,
                      policy=pol, name="cb1")
@@ -298,25 +329,39 @@ class BasicBlock(nn.Module):
         )
         cb2 = ConvBN(self.features, 3, 1, packed=p, policy=pol, name="cb2")
 
-        # Whole-block Pallas kernel (eval): conv1+BN+ReLU, conv2+BN+
-        # pre-ReLU, bypass projection, residual add, ReLU — one HBM
-        # read + one write for the entire block (ops/pallas_conv.py).
-        use_block = (
+        fused_ok = (
             p > 0
             and pol.fused_eval
             and not train
             and not self.is_initializing()
             and self.stride == 1
-            and inp * p >= 128
-            and self.features * p >= 128
-            and 2 * inp <= 128
             and 2 * self.features <= 128
         )
-        if use_block:
-            import jax
-
+        pe = _p_eff(p, c_x, x.shape[2] * p) if p else p
+        # Whole-block Pallas kernel (eval): conv1+BN+ReLU, conv2+BN+
+        # pre-ReLU, bypass projection, residual add, ReLU — one HBM
+        # read + one write for the entire block (ops/pallas_conv.py).
+        use_dual = (
+            fused_ok
+            and dual is not None
+            and c_x == c_d
+            and c_x * pe >= 128
+            and 2 * c_x <= 128
+            and self.features * pe >= 128
+        )
+        use_block = (
+            fused_ok
+            and dual is None
+            and inp * pe >= 128
+            and 2 * inp <= 128
+            and self.features * pe >= 128
+        )
+        if use_dual or use_block:
             from ubresnet_tpu.ops.packed import tile_channel_vector
-            from ubresnet_tpu.ops.pallas_conv import fused_basic_block
+            from ubresnet_tpu.ops.pallas_conv import (
+                fused_basic_block,
+                fused_dual_block,
+            )
 
             def fold(parts):
                 kernel, cbias, scale, bbias, mean, var = parts
@@ -324,26 +369,60 @@ class BasicBlock(nn.Module):
                 beta = bbias.astype(jnp.float32) - mean * g
                 if cbias is not None:
                     beta = beta + g * cbias.astype(jnp.float32)
-                return kernel, tile_channel_vector(g, p), tile_channel_vector(
-                    beta, p
+                return (
+                    kernel,
+                    tile_channel_vector(g, pe),
+                    tile_channel_vector(beta, pe),
                 )
 
             cdt = pol.compute_dtype
-            k1, g1, b1 = fold(cb1(x, train=train, params_only=True))
-            dummy = jnp.zeros((1, 1, 1, p * self.features), cdt)
-            k2, g2, b2 = fold(cb2(dummy, train=train, params_only=True))
+            interp = jax.default_backend() != "tpu"
+            dummy_in = jnp.zeros((1, 1, 1, p * inp), cdt)
+            dummy_mid = jnp.zeros((1, 1, 1, p * self.features), cdt)
+            k1, g1, b1 = fold(cb1(dummy_in, train=train, params_only=True))
+            k2, g2, b2 = fold(cb2(dummy_mid, train=train, params_only=True))
+            if use_dual:
+                kb, gb, bb = fold(
+                    bypass(dummy_in, train=train, params_only=True)
+                )
+                return _repack(
+                    fused_dual_block(
+                        _repack(x.astype(cdt), p, pe),
+                        _repack(dual.astype(cdt), p, pe),
+                        k1.astype(cdt), g1, b1,
+                        k2.astype(cdt), g2, b2,
+                        kb.astype(cdt), gb, bb,
+                        p=pe,
+                        interpret=interp,
+                    ),
+                    pe,
+                    p,
+                )
             kb = gb = bb = None
             if has_bypass:
-                kb, gb, bb = fold(bypass(x, train=train, params_only=True))
-            return fused_basic_block(
-                x.astype(cdt),
-                k1.astype(cdt), g1, b1,
-                k2.astype(cdt), g2, b2,
-                kb.astype(cdt) if kb is not None else None, gb, bb,
-                p=p,
-                interpret=jax.default_backend() != "tpu",
+                kb, gb, bb = fold(
+                    bypass(dummy_in, train=train, params_only=True)
+                )
+            return _repack(
+                fused_basic_block(
+                    _repack(x.astype(cdt), p, pe),
+                    k1.astype(cdt), g1, b1,
+                    k2.astype(cdt), g2, b2,
+                    kb.astype(cdt) if kb is not None else None, gb, bb,
+                    p=pe,
+                    interpret=interp,
+                ),
+                pe,
+                p,
             )
 
+        if dual is not None:  # explicit concat fallback
+            if p:
+                from ubresnet_tpu.ops.packed import packed_concat
+
+                x = packed_concat(x, dual.astype(x.dtype), p)
+            else:
+                x = jnp.concatenate([x, dual.astype(x.dtype)], axis=-1)
         y = cb1(x, train=train)
         if has_bypass:
             x = bypass(x, train=train)
@@ -361,9 +440,10 @@ class DoubleResNet(nn.Module):
     policy: Policy = Policy()
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, *, train: bool, dual=None):
         x = BasicBlock(self.features, self.stride, packed=self.packed,
-                       policy=self.policy, name="res1")(x, train=train)
+                       policy=self.policy, name="res1")(
+            x, train=train, dual=dual)
         x = BasicBlock(self.features, 1, packed=self.packed,
                        policy=self.policy, name="res2")(x, train=train)
         return x
@@ -387,21 +467,44 @@ class Deconv2x(nn.Module):
     policy: Policy = Policy()
 
     @nn.compact
-    def __call__(self, x, target_hw: Optional[Tuple[int, int]] = None):
+    def __call__(self, x, target_hw: Optional[Tuple[int, int]] = None,
+                 *, train: bool = False):
         if self.packed:
             from ubresnet_tpu.ops.packed import packed_deconv2x
 
-            cin = x.shape[-1] // self.packed
+            p = self.packed
+            cin = x.shape[-1] // p
             kernel = self.param(
                 "kernel", msra_normal(), (4, 4, cin, self.features),
                 self.policy.param_dtype,
             )
             th = target_hw[0] if target_hw is not None else 2 * x.shape[1]
-            if target_hw is not None and target_hw[1] != 2 * x.shape[2] * self.packed:
+            if target_hw is not None and target_hw[1] != 2 * x.shape[2] * p:
                 raise ValueError("packed deconv requires exact 2x width")
             cdt = self.policy.compute_dtype
+            pe = _p_eff(p, cin, x.shape[2] * p)
+            # Pallas deconv (no BN/bias → train/eval math identical, but
+            # the kernel has no VJP: eval only; training keeps the
+            # differentiable XLA path).
+            if (
+                self.policy.fused_eval
+                and not train
+                and not self.is_initializing()
+                and th == 2 * x.shape[1]
+                and cin * pe >= 128
+                and 2 * cin <= 128
+            ):
+                from ubresnet_tpu.ops.pallas_conv import fused_packed_deconv2x
+
+                y = fused_packed_deconv2x(
+                    _repack(x.astype(cdt), p, pe),
+                    kernel.astype(cdt),
+                    p=pe,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                return _repack(y, pe, p)
             return packed_deconv2x(
-                x.astype(cdt), kernel.astype(cdt), self.packed, target_h=th
+                x.astype(cdt), kernel.astype(cdt), p, target_h=th
             )
         cin = x.shape[-1]
         kernel = self.param(
@@ -448,19 +551,22 @@ class DecoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, skip, *, train: bool):
         if self.packed:
-            from ubresnet_tpu.ops.packed import packed_concat
-
             up = Deconv2x(self.deconv_features, self.packed, self.policy,
                           name="deconv")(
-                x, target_hw=(skip.shape[1], skip.shape[2] * self.packed)
+                x, target_hw=(skip.shape[1], skip.shape[2] * self.packed),
+                train=train,
             )
-            y = packed_concat(up, skip.astype(up.dtype), self.packed)
-        else:
-            up = Deconv2x(self.deconv_features, policy=self.policy,
-                          name="deconv")(
-                x, target_hw=(skip.shape[1], skip.shape[2])
-            )
-            y = jnp.concatenate([up, skip.astype(up.dtype)], axis=-1)
+            # skip join rides the dual-stream path: BasicBlock res1
+            # consumes (up, skip) as an implicit concat — fused eval
+            # never materialises it; the fallback concats explicitly.
+            return DoubleResNet(self.res_features, 1, packed=self.packed,
+                                policy=self.policy, name="res")(
+                up, train=train, dual=skip.astype(up.dtype))
+        up = Deconv2x(self.deconv_features, policy=self.policy,
+                      name="deconv")(
+            x, target_hw=(skip.shape[1], skip.shape[2])
+        )
+        y = jnp.concatenate([up, skip.astype(up.dtype)], axis=-1)
         return DoubleResNet(self.res_features, 1, packed=self.packed,
                             policy=self.policy, name="res")(y, train=train)
 

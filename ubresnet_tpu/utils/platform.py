@@ -15,3 +15,25 @@ def apply_platform_env():
         import jax
 
         jax.config.update("jax_platforms", plat)
+    _apply_runtime_defaults()
+
+
+def _apply_runtime_defaults():
+    """Runtime config every CLI entry point wants:
+
+    * ``rbg`` PRNG — the threefry default inlines a hash network per
+      ``random.normal``; with ~60 param initialisers the jitted
+      ``model.init`` took 140 s to compile on XLA:CPU (11 s with rbg).
+      rbg is also the faster/partitionable choice on TPU.
+    * persistent compilation cache — subprocesses spawned by the sweep
+      launcher (cli/launch.py) don't inherit a conftest's jax.config,
+      so set it here; override dir with UBTPU_JAX_CACHE, disable with
+      UBTPU_JAX_CACHE=0.
+    """
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    cache = os.environ.get("UBTPU_JAX_CACHE", "/tmp/ubtpu_jax_cache")
+    if cache != "0":
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
