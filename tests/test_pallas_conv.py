@@ -194,3 +194,67 @@ def test_full_model_fused_eval_matches_xla(rng):
     assert float(
         (jnp.argmax(a, -1) == jnp.argmax(b, -1)).mean()
     ) == 1.0
+
+
+@pytest.mark.parametrize("k,ci,co,p", [(3, 16, 16, 8), (3, 32, 16, 4),
+                                       (7, 16, 16, 8), (1, 32, 32, 4)])
+def test_conv_ad_grads_match_xla(rng, k, ci, co, p):
+    """pallas_conv_ad fwd + custom-VJP grads == XLA packed conv's."""
+    from ubresnet_tpu.ops.pallas_conv import conv_ad_supported, pallas_conv_ad
+    from ubresnet_tpu.ops.packed import packed_conv
+
+    assert conv_ad_supported(p, k, ci, co)
+    H, WC = 16, 32
+    x = jnp.asarray(rng.randn(2, H, WC, p * ci), jnp.float32)
+    w = jnp.asarray(rng.randn(k, k, ci, co) * 0.1, jnp.float32)
+    r = jnp.asarray(rng.randn(2, H, WC, p * co), jnp.float32)
+
+    def loss_pal(x, w):
+        return jnp.sum(pallas_conv_ad(x, w, p, True) * r)
+
+    def loss_xla(x, w):
+        return jnp.sum(packed_conv(x, w, p) * r)
+
+    fp, (dxp, dwp) = jax.value_and_grad(loss_pal, (0, 1))(x, w)
+    fx, (dxx, dwx) = jax.value_and_grad(loss_xla, (0, 1))(x, w)
+    np.testing.assert_allclose(fp, fx, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(dxp), np.asarray(dxx),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dwp), np.asarray(dwx),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_fused_train_model_grads_match_xla(rng):
+    """Whole UResNet with fused_train: loss + grads match the XLA
+    packed path (identical params; f32, interpret mode on CPU)."""
+    from ubresnet_tpu.models import get_model
+
+    polT = dataclasses.replace(Policy.f32(), pack_width=8, fused_train=True)
+    polU = dataclasses.replace(polT, fused_train=False)
+    x = jnp.asarray(rng.rand(1, 64, 64, 1), jnp.float32)
+    mT = get_model("uresnet", policy=polT, input_channels=1, inplanes=16)
+    mU = get_model("uresnet", policy=polU, input_channels=1, inplanes=16)
+    v = mU.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(m, params):
+        out, _ = m.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, train=True, logits=True, mutable=["batch_stats"],
+        )
+        return jnp.mean(out ** 2)
+
+    lT, gT = jax.value_and_grad(lambda p: loss(mT, p))(v["params"])
+    lU, gU = jax.value_and_grad(lambda p: loss(mU, p))(v["params"])
+    np.testing.assert_allclose(float(lT), float(lU), rtol=1e-5)
+    flatT = jax.tree_util.tree_flatten_with_path(gT)[0]
+    flatU = jax.tree_util.tree_flatten_with_path(gU)[0]
+    # f32 reduction-order noise through a deep backward chain scales
+    # with the GLOBAL grad magnitude (near-zero grads like biases
+    # upstream of BN carry the chain's noise, not their own); a wrong
+    # VJP produces O(global-scale) errors, so this still catches bugs
+    gsc = max(float(jnp.abs(b).max()) for _, b in flatU)
+    for (pa, a), (pb, b) in zip(flatT, flatU):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        assert float(jnp.abs(a - b).max()) < 1e-4 * gsc, (
+            jax.tree_util.keystr(pa)
+        )

@@ -105,10 +105,39 @@ class PackedConv(nn.Module):
         if params_only:  # fused eval path reads the params directly
             return kernel, bias
         cdt = self.policy.compute_dtype
+        p = self.pack
+        pe = _p_eff(p, ci, x.shape[2] * p)
+        if (
+            self.policy.fused_train
+            and self.stride == 1
+            and not self.is_initializing()
+            and pe * ci >= 128
+        ):
+            from ubresnet_tpu.ops.pallas_conv import (
+                conv_ad_supported,
+                pallas_conv_ad,
+            )
+
+            if conv_ad_supported(pe, self.kernel, ci, self.features):
+                y = _repack(
+                    pallas_conv_ad(
+                        _repack(x.astype(cdt), p, pe),
+                        kernel.astype(cdt),
+                        pe,
+                        jax.default_backend() != "tpu",
+                    ),
+                    pe,
+                    p,
+                )
+                if bias is not None:
+                    from ubresnet_tpu.ops.packed import tile_channel_vector
+
+                    y = y + tile_channel_vector(bias.astype(y.dtype), p)
+                return y
         return packed_conv(
             x.astype(cdt),
             kernel.astype(cdt),
-            self.pack,
+            p,
             self.stride,
             bias=bias.astype(cdt) if bias is not None else None,
         )

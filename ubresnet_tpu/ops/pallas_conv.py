@@ -254,6 +254,23 @@ def fused_packed_conv(
     assert pci >= COMBO, "packed channels below one lane tile"
     while h % th:
         th //= 2
+    # shrink the row tile until the kernel's VMEM footprint fits: two
+    # x slots + f32 combo/acc intermediates + the out block (seen to
+    # exceed the 16 MB scoped limit at 64-lane outputs with th=64)
+    hb0 = kh // 2
+    nb = x.dtype.itemsize
+
+    def vmem_est(t):
+        rows = (t + 2 * hb0) * wc
+        return (
+            2 * rows * pci * nb          # xs double buffer
+            + 2 * rows * COMBO * 4       # combo + roll temps (f32)
+            + t * wc * pco * 4           # f32 accumulator
+            + t * wc * pco * nb          # out block
+        )
+
+    while th > 8 and (vmem_est(th) > 12 * 2 ** 20 or h % th):
+        th //= 2
     wmain, whalo = halo_weights(w, p)
     wmain = wmain.astype(x.dtype)
     whalo = whalo.astype(x.dtype)
@@ -1161,3 +1178,93 @@ def fused_basic_block(
         bbt,
     )
     return out.reshape(bsz, h, wc, pco)
+
+
+# ------------------------------------------ differentiable packed conv
+
+
+def conv_ad_supported(p: int, kw: int, ci: int, co: int) -> bool:
+    """Both VJP legs must fit the halo-matmul kernel: the forward
+    contracts p*ci lanes (halo width (kw//2)*ci); the dx pass runs the
+    same kernel on dy with the flipped/transposed kernel, contracting
+    co-channel lanes — dy is re-viewed at its own lane-filling pack
+    factor (a free reshape), so the dx leg only needs a full-lane
+    factor for co to exist."""
+    return (
+        p * ci >= COMBO
+        and 2 * (kw // 2) * ci <= COMBO
+        and 2 * (kw // 2) * co <= COMBO
+        and (p * co >= COMBO or (co <= COMBO and COMBO % co == 0))
+    )
+
+
+def _conv_noepi(x, w, p, interpret):
+    pco = p * w.shape[-1]
+    return fused_packed_conv(
+        x,
+        w,
+        jnp.ones((pco,), jnp.float32),
+        jnp.zeros((pco,), jnp.float32),
+        p=p,
+        act=False,
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def pallas_conv_ad(x, w, p, interpret=False):
+    """Differentiable stride-1 'same' packed conv — the training-path
+    counterpart of the eval-only fused kernels.
+
+    Forward: the halo-matmul Pallas kernel (no epilogue — BN batch
+    statistics need the raw conv output, so BN/ReLU stay XLA ops the
+    compiler fuses elementwise).
+
+    Backward:
+      dx — gradient of a stride-1 'same' odd conv is the same conv of
+        dy with the spatially-flipped, in/out-transposed kernel; it
+        reuses the SAME Pallas kernel, so the dx leg gets the identical
+        pass-count win over the XLA packed conv.
+      dW — computed in the UNPACKED domain: pack/unpack are pure
+        reshapes, so unpacking x and dy is free, and XLA's
+        grad-weights conv there costs the TRUE conv FLOPs. The XLA
+        packed path instead differentiates through the p-fold densified
+        kernel, paying the full p-fold inflation on this leg.
+
+    x: (B, H, WC, p*ci) packed; w: (kh, kw, ci, co) unpacked
+    (checkpoint layout). Requires conv_ad_supported(p, kw, ci, co).
+    """
+    return _conv_noepi(x, w, p, interpret)
+
+
+def _conv_ad_fwd(x, w, p, interpret):
+    return _conv_noepi(x, w, p, interpret), (x, w)
+
+
+def _conv_ad_bwd(p, interpret, saved, dy):
+    from ubresnet_tpu.ops.packed import pack, packed_conv, unpack
+
+    x, w = saved
+    kh, kw, ci, co = w.shape
+    wt = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
+    # dy's lane-filling pack factor (free re-view); dx comes back with
+    # ci channels at pb and is re-viewed to the caller's p.
+    pb = p if p * co >= COMBO else COMBO // co
+    if pb != p and (dy.shape[2] * p) % pb:
+        pb = p  # width not divisible: stay at p (gate guarantees >=128)
+    dyb = pack(unpack(dy, p), pb) if pb != p else dy
+    dx = _conv_noepi(dyb, wt, pb, interpret)
+    if pb != p:
+        dx = pack(unpack(dx, pb), p)
+
+    # dW through XLA's grad of the packed conv: the packed-domain
+    # grad-weights conv is lane-efficient; the seemingly-free unpacked
+    # alternative (true FLOPs) runs 20x slower in practice — XLA's
+    # low-channel grad-weights conv is the same ~2% MXU-efficiency
+    # problem packing exists to solve (44.7 vs 2.3 ms/layer measured).
+    _, pullback = jax.vjp(lambda wk: packed_conv(x, wk, p), w)
+    (dw,) = pullback(dy.astype(x.dtype))
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+pallas_conv_ad.defvjp(_conv_ad_fwd, _conv_ad_bwd)
