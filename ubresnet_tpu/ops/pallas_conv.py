@@ -233,7 +233,9 @@ def fused_packed_conv(
     residual: Optional[jax.Array] = None,
     act: bool = True,
     pre_act: bool = False,
-    th: int = 64,
+    th: int = 64,  # isolated convs at b16 prefer 32 (1.72 vs 2.10 ms)
+    # but model-wide at the bench batch 64, th=64 wins (690 vs 678
+    # crops/s) — more grid programs amortise worse at small tiles
     interpret: bool = False,
 ) -> jax.Array:
     """Fused (packed conv k x k, stride 1) → affine → [pre-ReLU] →
