@@ -118,7 +118,10 @@ def test_fused_deconv_matches_packed(rng, p, ci, co, H, W):
 
 
 @pytest.mark.parametrize(
-    "p,ci,co,H,W", [(4, 32, 32, 8, 64), (8, 16, 16, 16, 128)]
+    "p,ci,co,H,W", [(4, 32, 32, 8, 64), (8, 16, 16, 16, 128),
+                    # wholeview crop width: 104 packed cells (512x832
+                    # at dec2) — non-power-of-2 cell count + VMEM-fit
+                    (8, 16, 16, 8, 104 * 8)]
 )
 def test_fused_dual_block_matches_concat_block(rng, p, ci, co, H, W):
     """BasicBlock over an implicit concat of two streams ≡ the

@@ -38,6 +38,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 COMBO = 128  # lanes in the halo-combo block
 
+# Scoped VMEM is 16 MB; Mosaic needs headroom for its own temporaries,
+# so kernels size their row tiles against this budget.
+VMEM_BUDGET = 11 * 2 ** 20
+
+
+def _fit_th(h: int, th: int, est) -> int:
+    """Largest row tile <= th that divides h and fits est(th) bytes in
+    the VMEM budget. est() should count the kernel's major buffers
+    (input slots, f32 temps, output block); tiles below 8 rows are not
+    shrunk further (the estimate is conservative)."""
+    while h % th:
+        th //= 2
+    while th > 8 and est(th) > VMEM_BUDGET:
+        th //= 2
+        while h % th:
+            th //= 2
+    return th
+
 
 def halo_weights(w: jax.Array, p: int):
     """(kh, kw, ci, co) unpacked conv kernel → (Wmain, Whalo):
@@ -254,25 +272,17 @@ def fused_packed_conv(
     hwci = (kw // 2) * ci
     assert 2 * hwci <= COMBO, "halo wider than one combo tile"
     assert pci >= COMBO, "packed channels below one lane tile"
-    while h % th:
-        th //= 2
     # shrink the row tile until the kernel's VMEM footprint fits: two
     # x slots + f32 combo/acc intermediates + the out block (seen to
     # exceed the 16 MB scoped limit at 64-lane outputs with th=64)
     hb0 = kh // 2
     nb = x.dtype.itemsize
-
-    def vmem_est(t):
-        rows = (t + 2 * hb0) * wc
-        return (
-            2 * rows * pci * nb          # xs double buffer
-            + 2 * rows * COMBO * 4       # combo + roll temps (f32)
-            + t * wc * pco * 4           # f32 accumulator
-            + t * wc * pco * nb          # out block
-        )
-
-    while th > 8 and (vmem_est(th) > 12 * 2 ** 20 or h % th):
-        th //= 2
+    th = _fit_th(h, th, lambda t: (
+        2 * (t + 2 * hb0) * wc * pci * nb     # xs double buffer
+        + 2 * (t + 2 * hb0) * wc * COMBO * 4  # combo + roll temps (f32)
+        + t * wc * pco * 4                    # f32 accumulator
+        + t * wc * pco * nb                   # out block
+    ))
     wmain, whalo = halo_weights(w, p)
     wmain = wmain.astype(x.dtype)
     whalo = whalo.astype(x.dtype)
@@ -439,8 +449,12 @@ def fused_pool3x3s2(
     assert pci == COMBO, "pool kernel expects exactly one lane tile"
     assert h % 2 == 0 and wc % 2 == 0 and p % 2 == 0
     ho = h // 2
-    while ho % th:
-        th //= 2
+    nb = x.dtype.itemsize
+    th = _fit_th(ho, th, lambda t: wc * (
+        2 * (2 * t + 2) * pci * nb            # xs double buffer
+        + 6 * t * COMBO * 4                   # M/combo/left/right f32
+        + t * pci * (4 + nb) // 2             # out accum + block
+    ))
     # selection matrices: out offset v (half-cell A) <- in offset 2v;
     # out offset v + p/2 (half-cell B) <- in offset 2v.
     s1 = np.zeros((COMBO, COMBO), np.float32)
@@ -676,8 +690,13 @@ def fused_dual_block(
     pco = p * co
     assert pcia >= COMBO and pcib >= COMBO and pco >= COMBO
     assert 2 * cia <= COMBO and 2 * cib <= COMBO and 2 * co <= COMBO
-    while h % th:
-        th //= 2
+    nb = a.dtype.itemsize
+    th = _fit_th(h, th, lambda t: wc * (
+        2 * (t + 4) * (pcia + pcib) * nb      # two stream double buffers
+        + 3 * (t + 4) * COMBO * 4             # ca/cb/c2nd f32 temps
+        + (t + 2) * pco * (4 + nb)            # acc1 + y1
+        + t * pco * (4 + nb)                  # acc2 + out block
+    ))
     wm1a, wh1a = halo_weights(w1[:, :, :cia], p)
     wm1b, wh1b = halo_weights(w1[:, :, cia:], p)
     wm2, wh2 = halo_weights(w2, p)
@@ -895,8 +914,12 @@ def fused_packed_deconv2x(
     kh, kw, ci, co = w.shape
     assert pci == p * ci, (pci, p, ci)
     assert pci >= COMBO and 2 * ci <= COMBO
-    while h % th:
-        th //= 2
+    nb = x.dtype.itemsize
+    th = _fit_th(h, th, lambda t: wc * (
+        2 * (t + 2) * pci * nb                # xs double buffer
+        + (t + 2) * COMBO * 4                 # combo f32 temps
+        + 2 * t * 2 * p * co * (4 + nb)       # acc + out (2x rows, pco2)
+    ))
     wm, wh = deconv_weights(w, p)
     nh = h // th
     grid = (bsz * nh,)
@@ -1118,8 +1141,13 @@ def fused_basic_block(
     pco = p * co
     assert 2 * ci <= COMBO and 2 * co <= COMBO
     assert pci >= COMBO and pco >= COMBO
-    while h % th:
-        th //= 2
+    nb = x.dtype.itemsize
+    th = _fit_th(h, th, lambda t: wc * (
+        2 * (t + 4) * pci * nb                # xs double buffer
+        + 2 * (t + 4) * COMBO * 4             # combo + c2nd f32 temps
+        + (t + 2) * pco * (4 + nb)            # acc1 + y1
+        + t * pco * (4 + nb)                  # acc2 + out block
+    ))
     wm1, wh1 = halo_weights(w1, p)
     wm2, wh2 = halo_weights(w2, p)
     has_bypass = wb is not None
