@@ -240,6 +240,7 @@ struct RFile {
 
   std::mutex mu;
   // caches (guarded by mu)
+  std::string error_snapshot;  // stable buffer for rootio_error
   std::string cached_basket_id;
   std::vector<uint8_t> cached_basket;
   std::string cached_event_id;
@@ -741,7 +742,15 @@ void *rootio_open(const char *path) {
 }
 
 const char *rootio_error(void *h) {
-  return h ? static_cast<RFile *>(h)->error.c_str() : "null handle";
+  if (!h) return "null handle";
+  RFile *f = static_cast<RFile *>(h);
+  // snapshot under the lock: error is reassigned by API calls on other
+  // threads, so returning its c_str() directly could dangle. ctypes
+  // callers .decode() immediately, so the snapshot buffer is stable
+  // for the read.
+  std::lock_guard<std::mutex> lk(f->mu);
+  f->error_snapshot = f->error;
+  return f->error_snapshot.c_str();
 }
 
 void rootio_close(void *h) { delete static_cast<RFile *>(h); }

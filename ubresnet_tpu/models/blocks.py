@@ -51,10 +51,26 @@ def _repack(x, p_from: int, p_to: int):
 
 def _p_eff(p: int, ci: int, wc_p: int) -> int:
     """Lane-filling pack factor for a fused kernel: 128/ci when the
-    tensor can be re-viewed that way, else the stage factor."""
-    if ci <= 128 and 128 % ci == 0 and p * ci >= 128 and wc_p % (128 // ci) == 0:
-        return 128 // ci
+    tensor can be re-viewed that way, else the stage factor. Works in
+    both directions (enc1's 16-ch entry at stage p=4 re-views UP to
+    p=8 for full lanes). Capped at 16 — very low channel counts (the
+    1-ch stem) would need p=128, which Mosaic fails to compile."""
+    pe = 128 // ci if ci <= 128 and 128 % ci == 0 else 0
+    if pe and pe <= 16 and wc_p % pe == 0:
+        return pe
     return p
+
+
+def fold_bn(scale, bias, mean, var, cbias=None, eps: float = BN_EPS):
+    """Fold eval-mode BN (+ optional conv bias) into one affine:
+    y = conv(x)*g + beta. The single definition of the fused paths'
+    BN numerics — ConvBN, BasicBlock and the model wrappers all fold
+    through here."""
+    g = scale.astype(jnp.float32) * jax.lax.rsqrt(var + eps)
+    beta = bias.astype(jnp.float32) - mean * g
+    if cbias is not None:
+        beta = beta + g * cbias.astype(jnp.float32)
+    return g, beta
 
 
 def msra_normal():
@@ -189,8 +205,7 @@ class PackedBN(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         cdt = self.policy.compute_dtype
-        g = (scale.astype(jnp.float32) * jax.lax.rsqrt(var + self.epsilon))
-        bterm = bias.astype(jnp.float32) - mean * g
+        g, bterm = fold_bn(scale, bias, mean, var, eps=self.epsilon)
         return (
             x.astype(cdt) * tile_channel_vector(g, p).astype(cdt)
             + tile_channel_vector(bterm, p).astype(cdt)
@@ -263,10 +278,8 @@ class ConvBN(nn.Module):
                 scale, bbias, mean, var = bn(
                     dummy, train=train, params_only=True
                 )
-                g = scale.astype(jnp.float32) * jax.lax.rsqrt(var + BN_EPS)
-                beta = bbias.astype(jnp.float32) - mean * g
-                if cbias is not None:
-                    beta = beta + g * cbias.astype(jnp.float32)
+                g, beta = fold_bn(scale, bbias, mean, var, cbias,
+                                  eps=bn.epsilon)
                 y = fused_packed_conv(
                     _repack(x.astype(cdt), p, pe),
                     kernel.astype(cdt),
@@ -394,10 +407,7 @@ class BasicBlock(nn.Module):
 
             def fold(parts):
                 kernel, cbias, scale, bbias, mean, var = parts
-                g = scale.astype(jnp.float32) * jax.lax.rsqrt(var + BN_EPS)
-                beta = bbias.astype(jnp.float32) - mean * g
-                if cbias is not None:
-                    beta = beta + g * cbias.astype(jnp.float32)
+                g, beta = fold_bn(scale, bbias, mean, var, cbias)
                 return (
                     kernel,
                     tile_channel_vector(g, pe),

@@ -112,47 +112,31 @@ def _combo(x2d: jax.Array, hwci: int, wc: int) -> jax.Array:
     ).astype(x2d.dtype)
 
 
-def _conv_kernel(
-    x_hbm,
-    wm_ref,
-    wh_ref,
-    g_ref,
-    b_ref,
-    res_ref,
-    out_ref,
-    xs,
-    sems,
-    *,
-    kh: int,
-    hwci: int,
-    th: int,
-    wc: int,
-    nh: int,
-    act: bool,
-    pre_act: bool,
-    has_res: bool,
-):
-    """Flat grid (B * H/th). Flat layout: x_hbm (B, H*wc, pci);
-    xs scratch (2, (th + 2*hb)*wc, pci) — two slots, double-buffered:
-    program j starts the DMA for program j+1 before computing, so the
-    next tile streams in behind the current tile's matmuls."""
-    hb = kh // 2
+def _halo_stream(x_hbm, xs, sems, *, nh, th, wc, hb, sem_idx=None):
+    """Double-buffered halo-row streaming shared by the conv-family
+    kernels. Flat layout: x_hbm (B, H*wc, C); xs scratch
+    (2, (th + 2*hb)*wc, C) — program j starts the DMA for program j+1
+    before computing, so the next tile streams in behind the current
+    tile's matmuls. Starts this program's tile (at idx 0), prefetches
+    the next program's tile, waits on this slot, zeroes the
+    out-of-image halo rows. Returns the slot index.
+
+    The wait descriptors MUST mirror the start descriptors exactly —
+    that invariant lives only here now."""
     idx = pl.program_id(0)
     nprog = pl.num_programs(0)
-    m = th * wc
     hrows = hb * wc
 
     def _dma(j, slot, op):
-        """Build the x DMA for program j into xs[slot] and start or
-        wait it — waits must mirror the start descriptors."""
         bj = j // nh
         hj = j % nh
 
         def fill(src_row, dst_row, nrows):
+            sem = sems.at[slot] if sem_idx is None else sems.at[slot, sem_idx]
             dma = pltpu.make_async_copy(
                 x_hbm.at[bj, pl.ds(src_row * wc, nrows * wc)],
                 xs.at[slot, pl.ds(dst_row * wc, nrows * wc)],
-                sems.at[slot],
+                sem,
             )
             dma.start() if op == "start" else dma.wait()
 
@@ -206,6 +190,32 @@ def _conv_kernel(
         zero_rows(0)
         zero_rows((hb + th) * wc)
 
+    return slot
+
+
+def _conv_kernel(
+    x_hbm,
+    wm_ref,
+    wh_ref,
+    g_ref,
+    b_ref,
+    res_ref,
+    out_ref,
+    xs,
+    sems,
+    *,
+    kh: int,
+    hwci: int,
+    th: int,
+    wc: int,
+    nh: int,
+    act: bool,
+    pre_act: bool,
+    has_res: bool,
+):
+    """Flat grid (B * H/th); halo-row streaming via _halo_stream."""
+    m = th * wc
+    slot = _halo_stream(x_hbm, xs, sems, nh=nh, th=th, wc=wc, hb=kh // 2)
     pco = out_ref.shape[-1]
     xall = xs[slot]
     call = _combo(xall, hwci, wc) if hwci else None
@@ -533,80 +543,15 @@ def _dual_block_kernel(
     Everything else matches _block_kernel (two 3x3 convs, pre-add
     ReLU, 1x1 bypass projection over both streams, residual add,
     final ReLU) with both inputs double-buffered from HBM."""
-    idx = pl.program_id(0)
-    nprog = pl.num_programs(0)
     hb = 2
     m = th * wc
     m1 = (th + 2) * wc
-
-    def _dma(j, slot, op):
-        bj = j // nh
-        hj = j % nh
-
-        def fill(xs, src, sem_i, src_row, dst_row, nrows):
-            dma = pltpu.make_async_copy(
-                src.at[bj, pl.ds(src_row * wc, nrows * wc)],
-                xs.at[slot, pl.ds(dst_row * wc, nrows * wc)],
-                sems.at[slot, sem_i],
-            )
-            dma.start() if op == "start" else dma.wait()
-
-        def both(src_row, dst_row, nrows):
-            fill(xsa, a_hbm, 0, src_row, dst_row, nrows)
-            fill(xsb, b_hbm, 1, src_row, dst_row, nrows)
-
-        if nh == 1:
-            both(0, hb, th)
-        else:
-
-            @pl.when(jnp.logical_and(hj > 0, hj < nh - 1))
-            def _():
-                both(hj * th - hb, 0, th + 2 * hb)
-
-            @pl.when(hj == 0)
-            def _():
-                both(0, hb, th + hb)
-
-            @pl.when(hj == nh - 1)
-            def _():
-                both(hj * th - hb, 0, th + hb)
-
-    slot = jax.lax.rem(idx, 2)
-
-    @pl.when(idx == 0)
-    def _():
-        _dma(idx, slot, "start")
-
-    @pl.when(idx + 1 < nprog)
-    def _():
-        _dma(idx + 1, jax.lax.rem(idx + 1, 2), "start")
-
-    _dma(idx, slot, "wait")
-    hj = idx % nh
+    slot = _halo_stream(a_hbm, xsa, sems, nh=nh, th=th, wc=wc, hb=hb,
+                        sem_idx=0)
+    _halo_stream(b_hbm, xsb, sems, nh=nh, th=th, wc=wc, hb=hb,
+                 sem_idx=1)
+    hj = pl.program_id(0) % nh
     hrows = hb * wc
-
-    def zero_rows(xs, row0):
-        xs[slot, pl.ds(row0, hrows)] = jnp.zeros(
-            (hrows, xs.shape[2]), xs.dtype
-        )
-
-    if nh > 1:
-
-        @pl.when(hj == 0)
-        def _():
-            zero_rows(xsa, 0)
-            zero_rows(xsb, 0)
-
-        @pl.when(hj == nh - 1)
-        def _():
-            zero_rows(xsa, (hb + th) * wc)
-            zero_rows(xsb, (hb + th) * wc)
-
-    else:
-        for xs in (xsa, xsb):
-            zero_rows(xs, 0)
-            zero_rows(xs, (hb + th) * wc)
-
     pco = out_ref.shape[-1]
     xa = xsa[slot]
     xb = xsb[slot]
@@ -688,6 +633,9 @@ def fused_dual_block(
     cia, cib = pcia // p, pcib // p
     assert cin == cia + cib, (cin, cia, cib)
     pco = p * co
+    assert w1.shape[:2] == (3, 3) and w2.shape[:2] == (3, 3), (
+        "dual block kernel hardcodes 3x3 taps"
+    )
     assert pcia >= COMBO and pcib >= COMBO and pco >= COMBO
     assert 2 * cia <= COMBO and 2 * cib <= COMBO and 2 * co <= COMBO
     nb = a.dtype.itemsize
@@ -803,68 +751,8 @@ def _deconv_kernel(
     """Grid (B * H/th) over INPUT row tiles; each program emits 2*th
     output rows (both parities, interleaved). Same flat layout and
     double-buffered DMA as _conv_kernel with a 1-row halo."""
-    idx = pl.program_id(0)
-    nprog = pl.num_programs(0)
     m = th * wc
-
-    def _dma(j, slot, op):
-        bj = j // nh
-        hj = j % nh
-
-        def fill(src_row, dst_row, nrows):
-            dma = pltpu.make_async_copy(
-                x_hbm.at[bj, pl.ds(src_row * wc, nrows * wc)],
-                xs.at[slot, pl.ds(dst_row * wc, nrows * wc)],
-                sems.at[slot],
-            )
-            dma.start() if op == "start" else dma.wait()
-
-        if nh == 1:
-            fill(0, wc // wc, th)  # dst row 1
-        else:
-
-            @pl.when(jnp.logical_and(hj > 0, hj < nh - 1))
-            def _():
-                fill(hj * th - 1, 0, th + 2)
-
-            @pl.when(hj == 0)
-            def _():
-                fill(0, 1, th + 1)
-
-            @pl.when(hj == nh - 1)
-            def _():
-                fill(hj * th - 1, 0, th + 1)
-
-    slot = jax.lax.rem(idx, 2)
-
-    @pl.when(idx == 0)
-    def _():
-        _dma(idx, slot, "start")
-
-    @pl.when(idx + 1 < nprog)
-    def _():
-        _dma(idx + 1, jax.lax.rem(idx + 1, 2), "start")
-
-    _dma(idx, slot, "wait")
-    hj = idx % nh
-
-    def zero_rows(row0):
-        xs[slot, pl.ds(row0, wc)] = jnp.zeros((wc, xs.shape[2]), xs.dtype)
-
-    if nh > 1:
-
-        @pl.when(hj == 0)
-        def _():
-            zero_rows(0)
-
-        @pl.when(hj == nh - 1)
-        def _():
-            zero_rows((1 + th) * wc)
-
-    else:
-        zero_rows(0)
-        zero_rows((1 + th) * wc)
-
+    slot = _halo_stream(x_hbm, xs, sems, nh=nh, th=th, wc=wc, hb=1)
     pco2 = out_ref.shape[-1]
     xall = xs[slot]
     call = _combo(xall, ci, wc)
@@ -989,73 +877,12 @@ def _block_kernel(
     path's six tensor round-trips. The model is HBM-bound (measured:
     ~43 GB accessed ≈ the whole forward's runtime), so this is where
     the packed stages' time actually goes."""
-    idx = pl.program_id(0)
-    nprog = pl.num_programs(0)
     hb = 2  # two chained 3x3 convs
     m = th * wc
     m1 = (th + 2) * wc
-
-    def _dma(j, slot, op):
-        bj = j // nh
-        hj = j % nh
-
-        def fill(src_row, dst_row, nrows):
-            dma = pltpu.make_async_copy(
-                x_hbm.at[bj, pl.ds(src_row * wc, nrows * wc)],
-                xs.at[slot, pl.ds(dst_row * wc, nrows * wc)],
-                sems.at[slot],
-            )
-            dma.start() if op == "start" else dma.wait()
-
-        if nh == 1:
-            fill(0, hb, th)
-        else:
-
-            @pl.when(jnp.logical_and(hj > 0, hj < nh - 1))
-            def _():
-                fill(hj * th - hb, 0, th + 2 * hb)
-
-            @pl.when(hj == 0)
-            def _():
-                fill(0, hb, th + hb)
-
-            @pl.when(hj == nh - 1)
-            def _():
-                fill(hj * th - hb, 0, th + hb)
-
-    slot = jax.lax.rem(idx, 2)
-
-    @pl.when(idx == 0)
-    def _():
-        _dma(idx, slot, "start")
-
-    @pl.when(idx + 1 < nprog)
-    def _():
-        _dma(idx + 1, jax.lax.rem(idx + 1, 2), "start")
-
-    _dma(idx, slot, "wait")
-    hj = idx % nh
+    slot = _halo_stream(x_hbm, xs, sems, nh=nh, th=th, wc=wc, hb=hb)
+    hj = pl.program_id(0) % nh
     hrows = hb * wc
-
-    def zero_rows(row0):
-        xs[slot, pl.ds(row0, hrows)] = jnp.zeros(
-            (hrows, xs.shape[2]), xs.dtype
-        )
-
-    if nh > 1:
-
-        @pl.when(hj == 0)
-        def _():
-            zero_rows(0)
-
-        @pl.when(hj == nh - 1)
-        def _():
-            zero_rows((hb + th) * wc)
-
-    else:
-        zero_rows(0)
-        zero_rows((hb + th) * wc)
-
     pco = out_ref.shape[-1]
     xall = xs[slot]
     dt = xall.dtype
@@ -1139,6 +966,9 @@ def fused_basic_block(
     _, _, ci, co = w1.shape
     assert pci == p * ci
     pco = p * co
+    assert w1.shape[:2] == (3, 3) and w2.shape[:2] == (3, 3), (
+        "block kernel hardcodes 3x3 taps"
+    )
     assert 2 * ci <= COMBO and 2 * co <= COMBO
     assert pci >= COMBO and pco >= COMBO
     nb = x.dtype.itemsize
@@ -1281,11 +1111,17 @@ def _conv_ad_bwd(p, interpret, saved, dy):
     # ci channels at pb and is re-viewed to the caller's p.
     pb = p if p * co >= COMBO else COMBO // co
     if pb != p and (dy.shape[2] * p) % pb:
-        pb = p  # width not divisible: stay at p (gate guarantees >=128)
-    dyb = pack(unpack(dy, p), pb) if pb != p else dy
-    dx = _conv_noepi(dyb, wt, pb, interpret)
-    if pb != p:
-        dx = pack(unpack(dx, pb), p)
+        pb = p  # width not divisible by the lane-filling factor
+    if pb * co >= COMBO:
+        dyb = pack(unpack(dy, p), pb) if pb != p else dy
+        dx = _conv_noepi(dyb, wt, pb, interpret)
+        if pb != p:
+            dx = pack(unpack(dx, pb), p)
+    else:
+        # no usable full-lane view (width not divisible): XLA packed
+        # conv for the dx leg rather than tripping the kernel's
+        # pci >= 128 assert
+        dx = packed_conv(dy.astype(x.dtype), wt.astype(x.dtype), p)
 
     # dW through XLA's grad of the packed conv: the packed-domain
     # grad-weights conv is lane-efficient; the seemingly-free unpacked
