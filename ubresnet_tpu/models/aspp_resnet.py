@@ -69,9 +69,15 @@ class ASPPResNet(nn.Module):
 
         xin = x.astype(pol.compute_dtype)
         if use_pack:
+            from ubresnet_tpu.models.blocks import stem_pool_packed
+
             x0 = ConvBN(p, 7, 1, use_bias=True, packed=pw, policy=pol,
                         name="stem")(pack(xin, pw), train=train)
-            y = pack(stem_pool(unpack(x0, pw)), pw)
+            y = stem_pool_packed(
+                x0, pw, pw, pol,
+                fused=(pol.fused_eval and not train
+                       and not self.is_initializing()),
+            )
         else:
             x0 = ConvBN(p, 7, 1, use_bias=True, policy=pol, name="stem")(
                 xin, train=train
@@ -121,10 +127,18 @@ class ASPPResNet(nn.Module):
             policy=pol, name="head"
         )(y, train=train)
         if use_pack:
-            from ubresnet_tpu.models.blocks import PackedConv
+            from ubresnet_tpu.models.blocks import (
+                PackedConv,
+                classifier_apply,
+            )
 
-            y = PackedConv(cfg.num_classes, 7, 1, True, pw, pol,
-                           name="classifier")(y)
+            clf = PackedConv(cfg.num_classes, 7, 1, True, pw, pol,
+                             name="classifier")
+            y = classifier_apply(
+                clf, y, cfg.num_classes, pw, pol,
+                fused=(pol.fused_eval and not train
+                       and not self.is_initializing()),
+            )
             y = unpack(y, pw)
         else:
             y = nn.Conv(

@@ -671,3 +671,54 @@ def stem_pool(x):
     ``nn.max_pool`` with explicit padding uses -inf identity, matching.
     """
     return nn.max_pool(x, window_shape=(3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+
+def stem_pool_packed(x0, p_stem: int, p_out: int, pol: Policy,
+                     *, fused: bool):
+    """Stem 3x3/s2 maxpool on a W-packed tensor, re-viewed to the next
+    stage's pack factor. ``fused`` (caller decides: eval mode, not
+    initializing) routes through the Pallas pool kernel when the stem
+    runs exactly one lane tile; otherwise unpack → XLA pool → pack.
+    Shared by UResNet and ASPP_ResNet."""
+    from ubresnet_tpu.ops.packed import pack, unpack
+
+    if (
+        fused
+        and x0.shape[-1] == 128
+        and x0.shape[1] % 2 == 0
+        and x0.shape[2] % 2 == 0
+    ):
+        from ubresnet_tpu.ops.pallas_conv import fused_pool3x3s2
+
+        y = fused_pool3x3s2(
+            x0, p=p_stem, interpret=jax.default_backend() != "tpu"
+        )
+        return _repack(y, p_stem, p_out)
+    return pack(stem_pool(unpack(x0, p_stem)), p_out)
+
+
+def classifier_apply(clf, y, num_classes: int, p: int, pol: Policy,
+                     *, fused: bool):
+    """Apply a packed 7x7 classifier conv (a PackedConv module the
+    caller owns, so checkpoint param names are unchanged), fusing into
+    the Pallas conv kernel when ``fused``. A fused log-softmax epilogue
+    was measured and REJECTED: the 3-lane roll reduction serialises the
+    epilogue (529 vs 688 crops/s model-wide on the real chip).
+    Shared by UResNet and ASPP_ResNet."""
+    ci_head = y.shape[-1] // p
+    if fused and y.shape[-1] >= 128 and 2 * 3 * ci_head <= 128:
+        from ubresnet_tpu.ops.packed import tile_channel_vector
+        from ubresnet_tpu.ops.pallas_conv import fused_packed_conv
+
+        kernel, cbias = clf(y, params_only=True)
+        cdt = pol.compute_dtype
+        return fused_packed_conv(
+            y.astype(cdt),
+            kernel.astype(cdt),
+            jnp.ones((p * num_classes,), jnp.float32),
+            tile_channel_vector(cbias.astype(jnp.float32), p),
+            p=p,
+            act=False,
+            interpret=jax.default_backend() != "tpu",
+        )
+    return clf(y)

@@ -73,30 +73,16 @@ class UResNet(nn.Module):
 
         xin = x.astype(pol.compute_dtype)
         if use_pack:
+            from ubresnet_tpu.models.blocks import stem_pool_packed
+
             x0 = ConvBN(cfg.inplanes, 7, 1, use_bias=True, packed=p_stem,
                         policy=pol, name="stem")(pack(xin, p_stem),
                                                  train=train)
-            if (
-                pol.fused_eval
-                and not train
-                and not self.is_initializing()
-                and x0.shape[-1] == 128
-                and x0.shape[1] % 2 == 0
-                and x0.shape[2] % 2 == 0
-            ):
-                from ubresnet_tpu.models.blocks import _repack
-                from ubresnet_tpu.ops.pallas_conv import fused_pool3x3s2
-
-                y = _repack(
-                    fused_pool3x3s2(
-                        x0, p=p_stem,
-                        interpret=jax.default_backend() != "tpu",
-                    ),
-                    p_stem,
-                    p_enc1,
-                )
-            else:
-                y = pack(stem_pool(unpack(x0, p_stem)), p_enc1)
+            y = stem_pool_packed(
+                x0, p_stem, p_enc1, pol,
+                fused=(pol.fused_eval and not train
+                       and not self.is_initializing()),
+            )
         else:
             # Stem (ub_uresnet.py:41-44): 7x7 conv + BN + ReLU, pool.
             x0 = ConvBN(cfg.inplanes, 7, 1, use_bias=True, policy=pol,
@@ -136,38 +122,18 @@ class UResNet(nn.Module):
                    packed=p_head, policy=pol, name="head")(
             y, train=train)
         if use_pack:
-            from ubresnet_tpu.models.blocks import PackedConv
+            from ubresnet_tpu.models.blocks import (
+                PackedConv,
+                classifier_apply,
+            )
 
             clf = PackedConv(cfg.num_classes, 7, 1, True, p_head, pol,
                              name="classifier")
-            ci_head = y.shape[-1] // p_head
-            if (
-                pol.fused_eval
-                and not train
-                and not self.is_initializing()
-                and y.shape[-1] >= 128
-                and 2 * (7 // 2) * ci_head <= 128
-            ):
-                # Fused classifier conv (no activation). A fused
-                # log-softmax epilogue was measured and REJECTED: the
-                # 3-lane roll/select reduction serialises the epilogue
-                # (529 vs 688 crops/s model-wide on the real chip).
-                from ubresnet_tpu.ops.packed import tile_channel_vector
-                from ubresnet_tpu.ops.pallas_conv import fused_packed_conv
-
-                kernel, cbias = clf(y, params_only=True)
-                cdt = pol.compute_dtype
-                y = fused_packed_conv(
-                    y.astype(cdt),
-                    kernel.astype(cdt),
-                    jnp.ones((p_head * cfg.num_classes,), jnp.float32),
-                    tile_channel_vector(cbias.astype(jnp.float32), p_head),
-                    p=p_head,
-                    act=False,
-                    interpret=jax.default_backend() != "tpu",
-                )
-            else:
-                y = clf(y)
+            y = classifier_apply(
+                clf, y, cfg.num_classes, p_head, pol,
+                fused=(pol.fused_eval and not train
+                       and not self.is_initializing()),
+            )
             y = unpack(y, p_head)
         else:
             y = nn.Conv(
