@@ -39,17 +39,18 @@ def _ref_conv(x, w, g, b, act, pre_act, res=None):
 
 
 @pytest.mark.parametrize(
-    "p,ci,co,k,res",
+    "p,ci,co,k,res,wc",
     [
-        (8, 16, 16, 3, False),
-        (8, 32, 16, 3, False),  # pci=256 input
-        (4, 32, 32, 3, True),
-        (8, 16, 16, 7, False),  # head-style 7x7
-        (8, 16, 3, 7, False),  # classifier-style
+        (8, 16, 16, 3, False, 16),
+        (8, 32, 16, 3, False, 16),  # pci=256 input
+        (4, 32, 32, 3, True, 16),
+        (8, 16, 16, 7, False, 16),  # head-style 7x7
+        (8, 16, 3, 7, False, 16),  # classifier-style
+        (8, 16, 16, 3, True, 52),  # wholeview-pool cell count (52=4*13)
     ],
 )
-def test_fused_conv_matches_reference(rng, p, ci, co, k, res):
-    B, H, W = 2, 16, 16 * p
+def test_fused_conv_matches_reference(rng, p, ci, co, k, res, wc):
+    B, H, W = 2, 16, wc * p
     x = jnp.asarray(rng.randn(B, H, W, ci), jnp.float32)
     w = jnp.asarray(rng.randn(k, k, ci, co) * 0.1, jnp.float32)
     g = jnp.asarray(rng.rand(co) + 0.5, jnp.float32)

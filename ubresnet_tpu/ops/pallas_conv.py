@@ -132,9 +132,18 @@ def _halo_stream(x_hbm, xs, sems, *, nh, th, wc, hb, sem_idx=None):
         hj = j % nh
 
         def fill(src_row, dst_row, nrows):
+            off = src_row * wc
+            if (th * wc) % 8 == 0 and (hb * wc) % 8 == 0:
+                # Mosaic must PROVE dynamic slice offsets hit sublane-
+                # tile (8-row) boundaries. Every offset here is
+                # hj*(th*wc) - {0, hb*wc}, divisible by 8 whenever both
+                # terms are — true at non-power-of-2 cell counts (the
+                # wholeview width gives wc = 104 or 52) where the
+                # prover can't derive it; assert it explicitly.
+                off = pl.multiple_of(off, 8)
             sem = sems.at[slot] if sem_idx is None else sems.at[slot, sem_idx]
             dma = pltpu.make_async_copy(
-                x_hbm.at[bj, pl.ds(src_row * wc, nrows * wc)],
+                x_hbm.at[bj, pl.ds(off, nrows * wc)],
                 xs.at[slot, pl.ds(dst_row * wc, nrows * wc)],
                 sem,
             )
@@ -314,7 +323,7 @@ def fused_packed_conv(
         has_res=has_res,
     )
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; DMA'd
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # x DMA'd by the kernel
         pl.BlockSpec(memory_space=pltpu.VMEM),  # main weights
         pl.BlockSpec(memory_space=pltpu.VMEM),  # halo weights
         pl.BlockSpec(memory_space=pltpu.VMEM),  # g
@@ -381,8 +390,13 @@ def _pool_kernel(
         hj = j % nh
 
         def fill(src_row, dst_row, nrows):
+            off = src_row * wc
+            if wc % 8 == 0:
+                # see _halo_stream: assert 8-row divisibility Mosaic's
+                # prover can't derive for non-power-of-2 wc
+                off = pl.multiple_of(off, 8)
             dma = pltpu.make_async_copy(
-                x_hbm.at[bj, pl.ds(src_row * wc, nrows * wc)],
+                x_hbm.at[bj, pl.ds(off, nrows * wc)],
                 xs.at[slot, pl.ds(dst_row * wc, nrows * wc)],
                 sems.at[slot],
             )
@@ -480,7 +494,7 @@ def fused_pool3x3s2(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -661,7 +675,7 @@ def fused_dual_block(
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2 + [vmem] * 14,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 2 + [vmem] * 14,
         out_specs=pl.BlockSpec(
             (1, th * wc, pco),
             lambda i: (i // nh, i % nh, 0),
@@ -819,7 +833,7 @@ def fused_packed_deconv2x(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -1005,7 +1019,7 @@ def fused_basic_block(
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [vmem] * 11,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] + [vmem] * 11,
         out_specs=pl.BlockSpec(
             (1, th * wc, pco),
             lambda i: (i // nh, i % nh, 0),
