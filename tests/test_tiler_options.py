@@ -67,16 +67,19 @@ def test_trainer_nan_recovery(tmp_path):
     trainer = Trainer(cfg, mesh=None)
     # poison iteration 4's batch with NaN images (iter 4: not a print
     # boundary, immediately followed by a periodic checkpoint)
-    real_step = trainer.train_step
     calls = {"n": 0}
 
-    def wrapped(state, batch):
-        calls["n"] += 1
-        if calls["n"] == 4:
-            batch = dict(batch, image=batch["image"] * float("nan"))
-        return real_step(state, batch)
+    def wrap(real_step):
+        def wrapped(state, batch):
+            calls["n"] += 1
+            if calls["n"] == 4:
+                key = "img_val" if "img_val" in batch else "image"
+                batch = dict(batch, **{key: batch[key] * float("nan")})
+            return real_step(state, batch)
 
-    trainer.train_step = wrapped
+        return wrapped
+
+    trainer.step_wrapper = wrap
     summary = trainer.run()
     assert "error" not in summary, summary.get("error")
     assert summary["final_iter"] >= 6
@@ -110,13 +113,15 @@ def test_trainer_nan_abort(tmp_path):
         }
     )
     trainer = Trainer(cfg, mesh=None)
-    real_step = trainer.train_step
+    def wrap(real_step):
+        def wrapped(state, batch):
+            key = "img_val" if "img_val" in batch else "image"
+            batch = dict(batch, **{key: batch[key] * float("nan")})
+            return real_step(state, batch)
 
-    def wrapped(state, batch):
-        batch = dict(batch, image=batch["image"] * float("nan"))
-        return real_step(state, batch)
+        return wrapped
 
-    trainer.train_step = wrapped
+    trainer.step_wrapper = wrap
     summary = trainer.run()
     assert "error" in summary
     assert "non-finite" in summary["error"]

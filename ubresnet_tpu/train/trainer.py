@@ -140,6 +140,9 @@ class Trainer:
         self.writer = ScalarWriter(cfg.log_dir)
         self.train_step = build_train_step(num_classes=cfg.model.num_classes,
                                            remat=cfg.remat)
+        # optional fn(step_fn) -> step_fn applied just before the loop
+        # (survives the sparse-path step rebuild in run())
+        self.step_wrapper = None
         self.eval_step = build_eval_step(num_classes=cfg.model.num_classes)
 
     def _init_state(self, example):
@@ -188,6 +191,11 @@ class Trainer:
                 num_classes=cfg.model.num_classes, sparse_hw=hw,
                 remat=cfg.remat,
             )
+        if self.step_wrapper is not None:
+            # test/instrumentation seam: applied to the FINAL step fn
+            # (the sparse-path rebuild above would silently clobber a
+            # wrapper installed around the __init__-time step)
+            self.train_step = self.step_wrapper(self.train_step)
         else:
             # host-side shape (global arrays aren't sliceable on
             # multi-host); init only needs shape+dtype
