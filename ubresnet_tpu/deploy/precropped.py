@@ -97,6 +97,28 @@ class PrecroppedRunner:
         out_producer = out_producer or f"uburn_plane{plane}"
         n = len(reader) if n_entries is None else min(n_entries, len(reader))
 
+        if self.sparse and n:
+            # pre-scan the run's max per-image occupancy so ONE sparse
+            # capacity (and therefore one compiled program) serves
+            # every batch — mid-run capacity growth forced a recompile
+            # per growth step
+            t0 = time.time()
+            from ubresnet_tpu.ops.sparse import round_capacity
+
+            max_nnz = 1
+            for i in range(n):
+                ev = reader.read_entry(i, producers=[producer])
+                imgs = ev[producer]
+                sel = [im for im in imgs if im.meta.plane == plane] or imgs
+                px = sel[0].pixels
+                if self.adc_threshold:
+                    nnz = int((px >= self.adc_threshold).sum())
+                else:
+                    nnz = int((px != 0).sum())
+                max_nnz = max(max_nnz, nnz)
+            self._cap = round_capacity(max_nnz, self.sparse_bucket)
+            timing["read"] += time.time() - t0
+
         for start in range(0, n, self.batch_size):
             idxs = range(start, min(start + self.batch_size, n))
             t0 = time.time()
