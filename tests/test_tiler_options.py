@@ -125,3 +125,72 @@ def test_trainer_nan_abort(tmp_path):
     summary = trainer.run()
     assert "error" in summary
     assert "non-finite" in summary["error"]
+
+
+def test_trainer_dense_with_step_wrapper(tmp_path):
+    """Regression (round-2 seam bug): step_wrapper installed AND the
+    dense input path (sparse_bucket=0) — the wrapper check used to
+    steal the else-branch that assigned the dense `example`, raising
+    NameError at _init_state. Also asserts the early shape-probe batch
+    is consumed as iteration 0 (wrapper sees exactly num_iters calls).
+    """
+    from ubresnet_tpu.core.config import TrainConfig
+    from ubresnet_tpu.data import make_synthetic_file
+    from ubresnet_tpu.train.trainer import Trainer
+
+    data = make_synthetic_file(str(tmp_path / "d.uevt"), n_events=4, hw=(32, 32))
+    cfg = TrainConfig.from_dict(
+        {
+            "model": {"inplanes": 2, "precision": "f32"},
+            "optim": {"lr": 1e-3},
+            "train_data": {"files": [data], "batch_size": 2,
+                           "sparse_bucket": 0},
+            "num_iters": 3,
+            "checkpoint_every": 100,
+            "print_every": 1,
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "model_axis": 1,
+        }
+    )
+    trainer = Trainer(cfg, mesh=None)
+    calls = {"n": 0}
+
+    def wrap(real_step):
+        def wrapped(state, batch):
+            calls["n"] += 1
+            return real_step(state, batch)
+
+        return wrapped
+
+    trainer.step_wrapper = wrap
+    summary = trainer.run()
+    assert "error" not in summary, summary.get("error")
+    assert summary["final_iter"] == 3
+    assert calls["n"] == 3
+
+
+def test_trainer_sparse_no_wrapper_example_shape(tmp_path):
+    """Regression twin: sparse path with NO wrapper must init from the
+    sparse-bucketed example (round 2 silently overwrote it with the
+    dense shape and worked only by coincidence)."""
+    from ubresnet_tpu.core.config import TrainConfig
+    from ubresnet_tpu.data import make_synthetic_file
+    from ubresnet_tpu.train.trainer import Trainer
+
+    data = make_synthetic_file(str(tmp_path / "d.uevt"), n_events=4, hw=(32, 32))
+    cfg = TrainConfig.from_dict(
+        {
+            "model": {"inplanes": 2, "precision": "f32"},
+            "optim": {"lr": 1e-3},
+            "train_data": {"files": [data], "batch_size": 2,
+                           "sparse_bucket": 64},
+            "num_iters": 2,
+            "checkpoint_every": 100,
+            "print_every": 1,
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "model_axis": 1,
+        }
+    )
+    summary = Trainer(cfg, mesh=None).run()
+    assert "error" not in summary, summary.get("error")
+    assert summary["final_iter"] == 2

@@ -826,7 +826,17 @@ long rootio_read_raw(void *h, const char *tree, const char *branch, long entry,
     set_err(f, err);
     return -1;
   }
-  if (out && cap >= long(bloblen)) std::memcpy(out, blob, bloblen);
+  if (out) {
+    if (cap < long(bloblen)) {
+      // caller supplied a buffer but it is too small: a real error,
+      // not a size query — report it so the binding's IOError carries
+      // the cause instead of a stale/empty message
+      set_err(f, "output buffer too small (" + std::to_string(cap) +
+                     " < " + std::to_string(bloblen) + " bytes)");
+      return -2;
+    }
+    std::memcpy(out, blob, bloblen);
+  }
   return long(bloblen);
 }
 
@@ -892,7 +902,12 @@ long rootio_image_pixels(void *h, const char *tree, const char *branch,
   }
   const DecodedImage &im = imgs[size_t(idx)];
   long npx = long(im.px.size());
-  if (out && cap >= npx) {
+  if (out) {
+    if (cap < npx) {
+      set_err(f, "output buffer too small (" + std::to_string(cap) +
+                     " < " + std::to_string(npx) + " pixels)");
+      return -2;
+    }
     size_t rows = im.rows, cols = im.cols;
     for (size_t col = 0; col < cols; ++col)
       for (size_t row = 0; row < rows; ++row)

@@ -386,6 +386,7 @@ class BasicBlock(nn.Module):
         use_dual = (
             fused_ok
             and dual is not None
+            and has_bypass  # fused_dual_block hardcodes the 1x1 projection
             and c_x == c_d
             and c_x * pe >= 128
             and 2 * c_x <= 128

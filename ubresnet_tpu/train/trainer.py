@@ -181,6 +181,8 @@ class Trainer:
             else None
         )
 
+        # the first batch is fetched early only to learn the (possibly
+        # sparse-bucketed) shapes; it is consumed as iteration 0 below
         first = next(train_iter)
         if cfg.train_data.sparse_bucket:
             hw = prefetcher.hw
@@ -191,11 +193,6 @@ class Trainer:
                 num_classes=cfg.model.num_classes, sparse_hw=hw,
                 remat=cfg.remat,
             )
-        if self.step_wrapper is not None:
-            # test/instrumentation seam: applied to the FINAL step fn
-            # (the sparse-path rebuild above would silently clobber a
-            # wrapper installed around the __init__-time step)
-            self.train_step = self.step_wrapper(self.train_step)
         else:
             # host-side shape (global arrays aren't sliceable on
             # multi-host); init only needs shape+dtype
@@ -203,43 +200,64 @@ class Trainer:
                 (1,) + tuple(prefetcher.image_shape[1:]),
                 jax.numpy.float32,
             )
+        if self.step_wrapper is not None:
+            # test/instrumentation seam: applied to the FINAL step fn
+            # (the sparse-path rebuild above would silently clobber a
+            # wrapper installed around the __init__-time step)
+            self.train_step = self.step_wrapper(self.train_step)
         state = self._init_state(example)
         meters = MeterDict()
         best = float(jax.device_get(state.best_metric))
         summary = {}
         nan_recoveries = 0
+        # lagged on-device skip counter: read one step behind so the
+        # host never blocks on the step it just dispatched (the read
+        # waits only on work the device has already finished)
+        pending_nan = None
+
+        def check_nan(skipped_arr, at_iter):
+            nonlocal nan_recoveries
+            skipped = int(jax.device_get(skipped_arr))
+            if skipped > nan_recoveries:
+                print(
+                    f"non-finite loss/grads: "
+                    f"{skipped - nan_recoveries} step(s) skipped "
+                    f"on-device (total {skipped}/"
+                    f"{cfg.max_nan_recoveries})",
+                    flush=True,
+                )
+                nan_recoveries = skipped
+                if skipped > cfg.max_nan_recoveries:
+                    raise FloatingPointError(
+                        f"non-finite loss at iter {at_iter} "
+                        f"({skipped} steps skipped)"
+                    )
+
         try:
             it = int(jax.device_get(state.step))
             t_iter = time.time()
             while it < cfg.num_iters:
                 t0 = time.time()
-                batch = next(train_iter)
+                if first is not None:
+                    batch, first = first, None
+                else:
+                    batch = next(train_iter)
                 t1 = time.time()
                 state, metrics = self.train_step(state, batch)
+                # failure detection: the train step guards every update
+                # on-device (non-finite loss/grads skip the whole
+                # update, step.py), so poisoned state can never be
+                # checkpointed; here we surface the cumulative skip
+                # count every step (one step late) and abort when the
+                # run is clearly stuck (beyond the reference, which
+                # only breaks the loop: wlarcv2:230-251).
+                if pending_nan is not None:
+                    check_nan(pending_nan, it)
+                pending_nan = metrics["nan_skipped"]
                 if (it + 1) % cfg.print_every == 0 or it + 1 == cfg.num_iters:
                     metrics = {k: float(v) for k, v in metrics.items()}
-                    # failure detection: the train step guards every
-                    # update on-device (non-finite loss/grads skip the
-                    # whole update, step.py), so poisoned state can
-                    # never be checkpointed; here we only surface the
-                    # cumulative skip count and abort when the run is
-                    # clearly stuck (beyond the reference, which only
-                    # breaks the loop: wlarcv2:230-251).
-                    skipped = int(metrics.pop("nan_skipped"))
-                    if skipped > nan_recoveries:
-                        print(
-                            f"non-finite loss/grads: "
-                            f"{skipped - nan_recoveries} step(s) skipped "
-                            f"on-device (total {skipped}/"
-                            f"{cfg.max_nan_recoveries})",
-                            flush=True,
-                        )
-                        nan_recoveries = skipped
-                        if skipped > cfg.max_nan_recoveries:
-                            raise FloatingPointError(
-                                f"non-finite loss at iter {it + 1} "
-                                f"({skipped} steps skipped)"
-                            )
+                    check_nan(metrics.pop("nan_skipped"), it + 1)
+                    pending_nan = None
                     if np.isfinite(metrics["loss"]):
                         t2 = time.time()
                         meters.update(metrics)
