@@ -70,7 +70,11 @@ def test_two_process_training(tmp_path):
                 text=True,
             )
         )
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    # generous: a fully cold XLA:CPU compile of the 4-device train
+    # program takes ~8-9 min on a contended host; the AOT-compile +
+    # coordination-service barrier in the trainer keeps the ranks from
+    # tripping collective timeouts while either is still compiling
+    outs = [p.communicate(timeout=1500)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert "distributed: process" in out

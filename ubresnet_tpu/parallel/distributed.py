@@ -49,3 +49,26 @@ def is_primary() -> bool:
     import jax
 
     return jax.process_index() == 0
+
+
+def barrier(name: str, timeout_s: float = 600.0) -> bool:
+    """Rendezvous all processes on the coordination service.
+
+    Unlike executing a collective (whose Gloo/ICI rendezvous carries a
+    short, hardcoded key-value timeout — 30 s for the CPU Gloo store),
+    the coordination-service barrier takes an explicit timeout, so it
+    can safely span a peer's cold compile. Used before the first
+    collective execution of a program. No-op (returns False) in
+    single-process runs.
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return False
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is None:
+        return False
+    client.wait_at_barrier(f"ubtpu_{name}", timeout_in_ms=int(timeout_s * 1000))
+    return True

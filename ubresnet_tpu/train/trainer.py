@@ -200,12 +200,32 @@ class Trainer:
                 (1,) + tuple(prefetcher.image_shape[1:]),
                 jax.numpy.float32,
             )
+        step_inner = self.train_step  # the jitted fn (pre-wrapper), for AOT
         if self.step_wrapper is not None:
             # test/instrumentation seam: applied to the FINAL step fn
             # (the sparse-path rebuild above would silently clobber a
             # wrapper installed around the __init__-time step)
             self.train_step = self.step_wrapper(self.train_step)
         state = self._init_state(example)
+        if jax.process_count() > 1:
+            # pre-compile the step WITHOUT executing it (lowering runs no
+            # collectives), then rendezvous on the coordination service.
+            # Entering the first gradient-psum directly would start a
+            # Gloo/ICI rendezvous with a short hardcoded KV timeout
+            # (30 s on CPU) that a peer's cold compile easily exceeds.
+            from ubresnet_tpu.parallel.distributed import barrier
+
+            t_aot = time.time()
+            try:
+                step_inner.lower(state, first).compile()
+            except Exception as e:  # AOT is best-effort; barrier still helps
+                print(f"AOT pre-compile skipped ({e})", flush=True)
+            barrier("first_step_compiled")
+            print(
+                f"distributed: step compiled + peers synced "
+                f"in {time.time() - t_aot:.1f}s",
+                flush=True,
+            )
         meters = MeterDict()
         best = float(jax.device_get(state.best_metric))
         summary = {}

@@ -35,12 +35,11 @@ def _apply_runtime_defaults():
     jax.config.update("jax_default_prng_impl", "rbg")
     cache = os.environ.get("UBTPU_JAX_CACHE", "/tmp/ubtpu_jax_cache")
     if cache != "0":
-        # Distributed ranks get separate cache dirs: a SHARED cache
-        # lets one rank cache-hit programs another just compiled and
-        # race >30s ahead to the first collective, tripping Gloo's
-        # key-value timeout (reproduced in test_distributed).
-        pid = os.environ.get("UBTPU_PROCESS_ID")
-        if pid is not None:
-            cache = os.path.join(cache, f"rank{pid}")
+        # One cache dir for ALL ranks: cache writes are atomic
+        # (tmp+rename), and the compile-skew hazard that once argued
+        # for per-rank dirs (one rank cache-hitting ahead to the first
+        # collective and tripping Gloo's 30 s KV timeout) is closed by
+        # the trainer's AOT-compile + coordination-service barrier
+        # before the first collective (train/trainer.py).
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
