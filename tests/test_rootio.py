@@ -184,3 +184,97 @@ def test_root_to_uevt_and_cli(tmp_path, capsys):
     out2 = str(tmp_path / "sel.uevt")
     assert convert_main([path, out2, "--producers", "wire"]) == 0
     assert EventFileReader(out2).producers(0) == ["wire"]
+
+
+# ------------------------------------------------------------- writer
+
+def test_writer_roundtrip(tmp_path):
+    """Native ROOT writer (VERDICT round-2 item 4: write-back so scores
+    flow to larcv consumers, ref deploy/run_ubresnet_precropped.py:
+    93-95,159-173) → native reader: pixels, meta, rse, multi-producer,
+    multi-basket."""
+    from ubresnet_tpu.data.meta import Image2D, ImageMeta
+    from ubresnet_tpu.data.rootio import RootFile, RootWriter
+
+    rng = np.random.RandomState(7)
+    path = str(tmp_path / "w.root")
+    truth = {}
+    with RootWriter(path, entries_per_basket=2) as w:
+        for e in range(5):
+            for prod, nplanes in (("uburn_plane0", 3), ("wire", 1)):
+                for p in range(nplanes):
+                    px = rng.rand(32, 24).astype(np.float32)
+                    meta = ImageMeta(10.0, -5.0, 10.0 + 24 * 0.5,
+                                     -5.0 + 32 * 0.5, 32, 24, p)
+                    w.append(prod, Image2D(px, meta))
+                    truth[(prod, e, p)] = (px, meta)
+            w.set_id(3, 1, 400 + e)
+            w.save_entry()
+
+    with RootFile(path) as rf:
+        br = rf.branches()
+        assert br[("image2d_uburn_plane0_tree",
+                   "image2d_uburn_plane0_branch")]["entries"] == 5
+        assert br[("image2d_uburn_plane0_tree",
+                   "image2d_uburn_plane0_branch")]["baskets"] == 3
+        for e in range(5):
+            for prod, nplanes in (("uburn_plane0", 3), ("wire", 1)):
+                rse, imgs = rf.read_event(
+                    f"image2d_{prod}_tree", f"image2d_{prod}_branch", e
+                )
+                assert rse == (3, 1, 400 + e)
+                assert len(imgs) == nplanes
+                for p, img in enumerate(imgs):
+                    px, meta = truth[(prod, e, p)]
+                    np.testing.assert_array_equal(img.pixels, px)
+                    assert img.meta.min_x == pytest.approx(meta.min_x)
+                    assert img.meta.max_y == pytest.approx(meta.max_y)
+                    assert img.meta.width == pytest.approx(meta.width)
+                    assert img.meta.height == pytest.approx(meta.height)
+                    assert img.meta.plane == p
+
+
+def test_writer_uncompressed(tmp_path):
+    from ubresnet_tpu.data.meta import Image2D, ImageMeta
+    from ubresnet_tpu.data.rootio import RootFile, RootWriter
+
+    path = str(tmp_path / "u.root")
+    px = np.arange(12, dtype=np.float32).reshape(4, 3)
+    with RootWriter(path, compress=False) as w:
+        w.append("adc", Image2D(px, ImageMeta(0, 0, 3, 4, 4, 3, 2)))
+        w.set_id(1, 1, 1)
+        w.save_entry()
+    with RootFile(path) as rf:
+        rse, imgs = rf.read_event("image2d_adc_tree",
+                                  "image2d_adc_branch", 0)
+        assert rse == (1, 1, 1)
+        np.testing.assert_array_equal(imgs[0].pixels, px)
+        assert imgs[0].meta.plane == 2
+
+
+def test_uevt_to_root_cli(tmp_path):
+    """Full migration cycle .root → .uevt → .root (cli --to-root), the
+    re-emitted file re-read by the native reader with identical
+    payloads."""
+    from ubresnet_tpu.cli.convert import main as convert_main
+    from ubresnet_tpu.data.rootio import RootFile
+
+    src = str(tmp_path / "src.root")
+    mid = str(tmp_path / "mid.uevt")
+    dst = str(tmp_path / "dst.root")
+    truth = write_larcv_like(src, producers=("wire", "segment"),
+                             n_entries=4)
+    assert convert_main([src, mid]) == 0
+    assert convert_main(["--to-root", mid, dst]) == 0
+    with RootFile(dst) as rf:
+        for prod, entries in truth.items():
+            for e, (arrs, metas, t_rse) in enumerate(entries):
+                rse, imgs = rf.read_event(
+                    f"image2d_{prod}_tree", f"image2d_{prod}_branch", e
+                )
+                assert rse == t_rse
+                assert len(imgs) == len(arrs)
+                for img, arr, m in zip(imgs, arrs, metas):
+                    np.testing.assert_array_equal(img.pixels, arr)
+                    assert img.meta.plane == m["plane"]
+                    assert img.meta.width == pytest.approx(m["width"])

@@ -92,9 +92,17 @@ def main(argv=None):
         description="Convert reference data (larcv .root directly via the "
         "native reader, or NPZ exports) to UEVT"
     )
-    ap.add_argument("input", help=".root (native reader) or .npz "
-                    "(see module docstring for the export layout)")
-    ap.add_argument("output", nargs="?", help="output UEVT file")
+    ap.add_argument("input", help=".root (native reader), .npz "
+                    "(see module docstring for the export layout), or "
+                    ".uevt (with --to-root)")
+    ap.add_argument("output", nargs="?", help="output UEVT file "
+                    "(or .root with --to-root)")
+    ap.add_argument(
+        "--to-root",
+        action="store_true",
+        help="convert UEVT back to a larcv-compatible .root file (the "
+        "write-back path: results flow to reference-ecosystem consumers)",
+    )
     ap.add_argument(
         "--producers",
         help="comma-separated larcv producers to convert (.root only; "
@@ -115,7 +123,12 @@ def main(argv=None):
         return 0
     if not args.output:
         ap.error("output is required unless --inspect")
-    if args.input.endswith(".root"):
+    if args.to_root:
+        from ubresnet_tpu.data.rootio import uevt_to_root
+
+        producers = args.producers.split(",") if args.producers else None
+        n = uevt_to_root(args.input, args.output, producers, args.verbose)
+    elif args.input.endswith(".root"):
         from ubresnet_tpu.data.rootio import root_to_uevt
 
         producers = args.producers.split(",") if args.producers else None

@@ -708,6 +708,280 @@ void copy_str(const std::string &s, char *buf, int cap) {
   buf[n] = 0;
 }
 
+// ------------------------------------------------------------------ writer
+//
+// Write-back path: larcv-compatible EventImage2D trees, so network
+// scores flow back to the reference ecosystem (larcv IOManager(kWRITE)
+// + `uburn_plane%d` producers at
+// /root/reference/deploy/run_ubresnet_precropped.py:93-95,159-173).
+// Emits the same container layout the reader walks (and
+// tests/root_synth.py pins): TFile header + sequential TKey records;
+// entries as object-wise-streamed larcv2-layout EventImage2D blobs
+// (producer string + u64 run/subrun/event; Image2D = vector<float>
+// frame + ImageMeta frame with nested Point2D origin) batched into
+// zlib-compressed TBaskets; a TTree stub record per tree so
+// class-level inspection shows the tree objects. 32-bit seeks (file
+// format version 4) — files are capped at 2 GiB and the writer errors
+// past that.
+
+struct Buf {
+  std::vector<uint8_t> d;
+
+  void u8(uint8_t v) { d.push_back(v); }
+  void u16(uint16_t v) {
+    d.push_back(uint8_t(v >> 8));
+    d.push_back(uint8_t(v));
+  }
+  void u32(uint32_t v) {
+    d.push_back(uint8_t(v >> 24));
+    d.push_back(uint8_t(v >> 16));
+    d.push_back(uint8_t(v >> 8));
+    d.push_back(uint8_t(v));
+  }
+  void i32(int32_t v) { u32(uint32_t(v)); }
+  void u64(uint64_t v) {
+    u32(uint32_t(v >> 32));
+    u32(uint32_t(v));
+  }
+  void f32be(float v) {
+    uint32_t u;
+    std::memcpy(&u, &v, 4);
+    u32(u);
+  }
+  void f64be(double v) {
+    uint64_t u;
+    std::memcpy(&u, &v, 8);
+    u64(u);
+  }
+  void tstring(const std::string &s) {
+    if (s.size() < 255) {
+      u8(uint8_t(s.size()));
+    } else {
+      u8(255);
+      u32(uint32_t(s.size()));
+    }
+    d.insert(d.end(), s.begin(), s.end());
+  }
+  void raw(const void *p, size_t n) {
+    const uint8_t *b = static_cast<const uint8_t *>(p);
+    d.insert(d.end(), b, b + n);
+  }
+  // version frame {u32 bytecount|0x40000000, i16 version} wrapping the
+  // bytes appended between open_frame and close_frame
+  size_t open_frame(uint16_t version) {
+    size_t at = d.size();
+    u32(0);  // patched in close_frame
+    u16(version);
+    return at;
+  }
+  void close_frame(size_t at) {
+    uint32_t body = uint32_t(d.size() - at - 4);
+    d[at] = uint8_t((body >> 24) | 0x40);
+    d[at + 1] = uint8_t(body >> 16);
+    d[at + 2] = uint8_t(body >> 8);
+    d[at + 3] = uint8_t(body);
+  }
+};
+
+struct WBranch {
+  std::string tree, name;
+  std::vector<std::vector<uint8_t>> pending;  // unflushed entry blobs
+  long n_entries = 0;
+};
+
+struct WFile {
+  FILE *fp = nullptr;
+  std::string path;
+  long pos = 100;  // next record position (after the 100-byte header)
+  int compress = 1;
+  int entries_per_basket = 4;
+  std::map<std::string, WBranch> branches;
+  std::string error, error_snapshot;
+  std::mutex mu;
+
+  ~WFile() {
+    if (fp) std::fclose(fp);
+  }
+};
+
+void wset_err(WFile *w, const std::string &e) { w->error = e; }
+
+// zlib-compress `obj` with the 9-byte ROOT frame header; returns the
+// uncompressed bytes unchanged when compression does not shrink them.
+std::vector<uint8_t> w_compress(const std::vector<uint8_t> &obj,
+                                bool enable) {
+  const size_t kFrame = 1u << 23;  // u24 length fields cap a frame
+  if (!enable || obj.empty()) return obj;
+  std::vector<uint8_t> out;
+  for (size_t off = 0; off < obj.size(); off += kFrame) {
+    size_t n = std::min(kFrame, obj.size() - off);
+    uLongf cap = compressBound(uLong(n));
+    std::vector<uint8_t> tmp(cap);
+    if (compress2(tmp.data(), &cap, obj.data() + off, uLong(n), 6) != Z_OK)
+      return obj;
+    out.push_back('Z');
+    out.push_back('L');
+    out.push_back(8);  // method: deflate
+    out.push_back(uint8_t(cap));
+    out.push_back(uint8_t(cap >> 8));
+    out.push_back(uint8_t(cap >> 16));
+    out.push_back(uint8_t(n));
+    out.push_back(uint8_t(n >> 8));
+    out.push_back(uint8_t(n >> 16));
+    out.insert(out.end(), tmp.begin(), tmp.begin() + cap);
+  }
+  return out.size() < obj.size() ? out : obj;
+}
+
+// TKey record head: {fNbytes, fVersion=4, fObjlen, fDatime, fKeylen,
+// fCycle, fSeekKey, fSeekPdir, class/name/title} (+extra inside the
+// key, e.g. the TBasket members). Returns the serialized key; keylen
+// out-param includes the extra bytes.
+std::vector<uint8_t> w_key(const std::string &cls, const std::string &name,
+                           const std::string &title, uint32_t objlen,
+                           size_t payload_len, long seek,
+                           const std::vector<uint8_t> &extra, int *keylen) {
+  Buf s;
+  s.tstring(cls);
+  s.tstring(name);
+  s.tstring(title);
+  int klen = 4 + 2 + 4 + 4 + 2 + 2 + 4 + 4 + int(s.d.size() + extra.size());
+  Buf k;
+  k.i32(int32_t(klen + payload_len));
+  k.u16(4);  // key version (32-bit seeks)
+  k.u32(objlen);
+  k.u32(0);  // fDatime
+  k.u16(uint16_t(klen));
+  k.u16(1);  // fCycle
+  k.i32(int32_t(seek));
+  k.i32(100);  // fSeekPdir: the TFile directory record at fBEGIN
+  k.raw(s.d.data(), s.d.size());
+  k.raw(extra.data(), extra.size());
+  if (keylen) *keylen = klen;
+  return k.d;
+}
+
+bool w_put(WFile *w, const std::string &cls, const std::string &name,
+           const std::string &title, const std::vector<uint8_t> &obj,
+           bool compress, const std::vector<uint8_t> &extra) {
+  std::vector<uint8_t> payload = w_compress(obj, compress && w->compress);
+  std::vector<uint8_t> key = w_key(cls, name, title, uint32_t(obj.size()),
+                                   payload.size(), w->pos, extra, nullptr);
+  long total = long(key.size() + payload.size());
+  if (w->pos + total > 0x7fff0000L) {
+    wset_err(w, "file exceeds the 2 GiB 32-bit-seek format limit");
+    return false;
+  }
+  if (std::fwrite(key.data(), 1, key.size(), w->fp) != key.size() ||
+      (payload.size() &&
+       std::fwrite(payload.data(), 1, payload.size(), w->fp) !=
+           payload.size())) {
+    wset_err(w, "write failed: " + w->path);
+    return false;
+  }
+  w->pos += total;
+  return true;
+}
+
+// One object-wise-streamed EventImage2D blob, larcv2 layout (the
+// reader accepts every layout variant; the writer emits the common
+// one: u64 ids, _img before _meta, nested Point2D origin, no TObject
+// header — tests/root_synth.py stream_event_image2d defaults).
+// images: nimg triples of (rows, cols, plane, ox, oy, width, height)
+// metas + row-major pixel data.
+std::vector<uint8_t> w_event_blob(const char *producer, const long *rse,
+                                  long nimg, const long *rows,
+                                  const long *cols, const long *planes,
+                                  const double *meta4, const float *px) {
+  Buf b;
+  size_t ev = b.open_frame(10);
+  {
+    size_t base = b.open_frame(3);
+    b.tstring(producer);
+    b.u64(uint64_t(rse[0]));
+    b.u64(uint64_t(rse[1]));
+    b.u64(uint64_t(rse[2]));
+    b.close_frame(base);
+  }
+  {
+    size_t vec = b.open_frame(6);
+    b.i32(int32_t(nimg));
+    const float *p = px;
+    for (long i = 0; i < nimg; ++i) {
+      long r = rows[i], c = cols[i];
+      size_t img = b.open_frame(5);
+      {
+        // vector<float> _img, column-major (_img[col*rows+row])
+        size_t vf = b.open_frame(6);
+        b.i32(int32_t(r * c));
+        for (long col = 0; col < c; ++col)
+          for (long row = 0; row < r; ++row) b.f32be(p[row * c + col]);
+        b.close_frame(vf);
+      }
+      {
+        size_t mf = b.open_frame(4);
+        size_t origin = b.open_frame(2);
+        b.f64be(meta4[4 * i + 0]);  // origin x (min_x)
+        b.f64be(meta4[4 * i + 1]);  // origin y (max_y — top-left)
+        b.close_frame(origin);
+        b.f64be(meta4[4 * i + 2]);  // width
+        b.f64be(meta4[4 * i + 3]);  // height
+        b.u64(uint64_t(r));
+        b.u64(uint64_t(c));
+        b.u64(uint64_t(planes[i]));
+        b.close_frame(mf);
+      }
+      b.close_frame(img);
+      p += r * c;
+    }
+    b.close_frame(vec);
+  }
+  b.close_frame(ev);
+  return b.d;
+}
+
+bool w_flush_branch(WFile *w, WBranch &br) {
+  if (br.pending.empty()) return true;
+  size_t datalen = 0;
+  for (const auto &e : br.pending) datalen += e.size();
+  // keylen must be known for fLast and the offsets table: dry-build
+  std::vector<uint8_t> extra_probe;
+  {
+    Buf e;
+    e.u16(3);
+    e.i32(32000);
+    e.i32(0);
+    e.i32(0);
+    e.i32(0);
+    e.u8(0);
+    extra_probe = e.d;
+  }
+  int keylen = 0;
+  w_key("TBasket", br.name, br.tree, 0, 0, 0, extra_probe, &keylen);
+  Buf obj;
+  for (const auto &e : br.pending) obj.raw(e.data(), e.size());
+  // fEntryOffset table: absolute positions including the key bytes
+  obj.i32(int32_t(br.pending.size()));
+  {
+    int32_t acc = keylen;
+    for (const auto &e : br.pending) {
+      obj.i32(acc);
+      acc += int32_t(e.size());
+    }
+  }
+  Buf extra;
+  extra.u16(3);                              // basket version
+  extra.i32(32000);                          // fBufferSize
+  extra.i32(0);                              // fNevBufSize (offsets rule)
+  extra.i32(int32_t(br.pending.size()));     // fNevBuf
+  extra.i32(int32_t(keylen + datalen));      // fLast
+  extra.u8(0);
+  bool ok = w_put(w, "TBasket", br.name, br.tree, obj.d, true, extra.d);
+  if (ok) br.n_entries += long(br.pending.size());
+  br.pending.clear();
+  return ok;
+}
+
 }  // namespace
 
 // ------------------------------------------------------------- C exports
@@ -915,5 +1189,116 @@ long rootio_image_pixels(void *h, const char *tree, const char *branch,
   }
   return npx;
 }
+
+// ---------------------------------------------------------- writer exports
+
+void *rootw_open(const char *path, int compress, int entries_per_basket) {
+  auto *w = new WFile();
+  w->path = path;
+  w->compress = compress ? 1 : 0;
+  if (entries_per_basket > 0) w->entries_per_basket = entries_per_basket;
+  w->fp = std::fopen(path, "wb");
+  if (!w->fp) {
+    delete w;
+    return nullptr;
+  }
+  // 100-byte header placeholder (finalized in rootw_close)
+  std::vector<uint8_t> hdr(100, 0);
+  if (std::fwrite(hdr.data(), 1, hdr.size(), w->fp) != hdr.size()) {
+    delete w;
+    return nullptr;
+  }
+  // first record: the TFile directory object (40-byte stub body)
+  std::vector<uint8_t> dir(40, 0), no_extra;
+  if (!w_put(w, "TFile", path, "", dir, false, no_extra)) {
+    delete w;
+    return nullptr;
+  }
+  return w;
+}
+
+const char *rootw_error(void *h) {
+  if (!h) return "null handle";
+  WFile *w = static_cast<WFile *>(h);
+  std::lock_guard<std::mutex> lk(w->mu);
+  w->error_snapshot = w->error;
+  return w->error_snapshot.c_str();
+}
+
+// Append one EventImage2D entry to producer's tree
+// (tree image2d_{producer}_tree, branch image2d_{producer}_branch —
+// the larcv naming the reference scripts address,
+// run_ubresnet_precropped.py:159-173). meta4: nimg × [origin_x,
+// origin_y(top), width, height]; px: concatenated row-major pixels.
+int rootw_write_entry(void *h, const char *producer, const long *rse,
+                      long nimg, const long *rows, const long *cols,
+                      const long *planes, const double *meta4,
+                      const float *px) {
+  auto *w = static_cast<WFile *>(h);
+  std::lock_guard<std::mutex> lk(w->mu);
+  std::string prod(producer);
+  WBranch &br = w->branches[prod];
+  if (br.tree.empty()) {
+    br.tree = "image2d_" + prod + "_tree";
+    br.name = "image2d_" + prod + "_branch";
+  }
+  br.pending.push_back(w_event_blob(producer, rse, nimg, rows, cols,
+                                    planes, meta4, px));
+  if (long(br.pending.size()) >= w->entries_per_basket)
+    return w_flush_branch(w, br) ? 0 : -1;
+  return 0;
+}
+
+int rootw_close(void *h) {
+  auto *w = static_cast<WFile *>(h);
+  bool ok = true;
+  {
+    std::lock_guard<std::mutex> lk(w->mu);
+    std::vector<uint8_t> no_extra;
+    for (auto &kv : w->branches) {
+      if (!w_flush_branch(w, kv.second)) {
+        ok = false;
+        break;
+      }
+      // TTree stub record: class-level inspection (rootio_key_info /
+      // cli convert --inspect) sees the tree object; the reader's
+      // branch recovery walks the baskets and ignores the body.
+      Buf stub;
+      stub.u64(uint64_t(kv.second.n_entries));
+      if (ok && !w_put(w, "TTree", kv.second.tree, "larcv image2d tree",
+                       stub.d, false, no_extra))
+        ok = false;
+    }
+    if (ok) {
+      // finalize the header: magic, fVersion, fBEGIN, fEND, free-list
+      // fields zero, fNbytesName, fUnits=4, fCompress, fSeekInfo 0
+      Buf hdr;
+      hdr.raw("root", 4);
+      hdr.i32(62804);     // format version
+      hdr.i32(100);       // fBEGIN
+      hdr.i32(int32_t(w->pos));  // fEND
+      hdr.i32(0);         // fSeekFree
+      hdr.i32(0);         // fNbytesFree
+      hdr.i32(0);         // nfree
+      hdr.i32(40);        // fNbytesName
+      hdr.u8(4);          // fUnits
+      hdr.i32(w->compress ? 101 : 0);  // fCompress (zlib level 1 tag)
+      hdr.i32(0);         // fSeekInfo
+      hdr.i32(0);         // fNbytesInfo
+      hdr.d.resize(100, 0);
+      ok = std::fseek(w->fp, 0, SEEK_SET) == 0 &&
+           std::fwrite(hdr.d.data(), 1, 100, w->fp) == 100 &&
+           std::fflush(w->fp) == 0;
+      if (!ok) wset_err(w, "finalize failed: " + w->path);
+    }
+  }
+  if (ok) {
+    delete w;
+    return 0;
+  }
+  return -1;  // handle kept alive so rootw_error can be read
+}
+
+void rootw_abort(void *h) { delete static_cast<WFile *>(h); }
 
 }  // extern "C"

@@ -100,6 +100,19 @@ def _load():
             c.c_void_p, c.c_char_p, c.c_char_p, c.c_long, c.c_int,
             c.POINTER(c.c_float), c.c_long,
         ]
+        lib.rootw_open.restype = c.c_void_p
+        lib.rootw_open.argtypes = [c.c_char_p, c.c_int, c.c_int]
+        lib.rootw_error.restype = c.c_char_p
+        lib.rootw_error.argtypes = [c.c_void_p]
+        lib.rootw_write_entry.restype = c.c_int
+        lib.rootw_write_entry.argtypes = [
+            c.c_void_p, c.c_char_p, c.POINTER(c.c_long), c.c_long,
+            c.POINTER(c.c_long), c.POINTER(c.c_long), c.POINTER(c.c_long),
+            c.POINTER(c.c_double), c.POINTER(c.c_float),
+        ]
+        lib.rootw_close.restype = c.c_int
+        lib.rootw_close.argtypes = [c.c_void_p]
+        lib.rootw_abort.argtypes = [c.c_void_p]
         _lib = lib
         return lib
 
@@ -232,6 +245,119 @@ class RootFile:
             images.append(Image2D(px.reshape(rows, cols), meta,
                                   run, subrun, event))
         return (run, subrun, event), images
+
+
+class RootWriter:
+    """Write larcv-compatible EventImage2D trees — the write-back path
+    (reference: IOManager(kWRITE) + per-class score images appended to
+    `uburn_plane%d` producers with the original meta + run/subrun/event,
+    /root/reference/deploy/run_ubresnet_precropped.py:93-95,159-173).
+
+    Same append/set_id/save_entry surface as data.uevt.EventFileWriter,
+    so deploy runners target either format. Backed by the native writer
+    in cpp/rootio.cpp; files round-trip through the native reader."""
+
+    def __init__(self, path: str, compress: bool = True,
+                 entries_per_basket: int = 4):
+        self._lib = _load()
+        self._h = self._lib.rootw_open(
+            path.encode(), 1 if compress else 0, entries_per_basket
+        )
+        if not self._h:
+            raise IOError(f"cannot create ROOT file: {path}")
+        self.path = path
+        self._pending: Dict[str, List[Image2D]] = {}
+        self._rse = (0, 0, 0)
+
+    @property
+    def error(self) -> str:
+        return self._lib.rootw_error(self._h).decode()
+
+    def append(self, producer: str, img: Image2D):
+        self._pending.setdefault(producer, []).append(img)
+
+    def set_id(self, run: int, subrun: int, event: int):
+        self._rse = (int(run), int(subrun), int(event))
+
+    def save_entry(self):
+        c = ctypes
+        rse = (c.c_long * 3)(*self._rse)
+        for producer, imgs in self._pending.items():
+            n = len(imgs)
+            rows = (c.c_long * n)(*[i.meta.rows for i in imgs])
+            cols = (c.c_long * n)(*[i.meta.cols for i in imgs])
+            planes = (c.c_long * n)(*[i.meta.plane for i in imgs])
+            meta4 = (c.c_double * (4 * n))()
+            for j, im in enumerate(imgs):
+                m = im.meta
+                # larcv origin = top-left (min_x, max_y)
+                meta4[4 * j : 4 * j + 4] = [
+                    m.min_x, m.max_y, m.max_x - m.min_x, m.max_y - m.min_y,
+                ]
+            px = np.concatenate(
+                [np.asarray(i.pixels, np.float32).reshape(-1) for i in imgs]
+            ) if n else np.empty(0, np.float32)
+            px = np.ascontiguousarray(px, np.float32)
+            rc = self._lib.rootw_write_entry(
+                self._h, producer.encode(), rse, n, rows, cols, planes,
+                meta4, px.ctypes.data_as(c.POINTER(c.c_float)),
+            )
+            if rc != 0:
+                raise IOError(self.error)
+        self._pending.clear()
+        self._rse = (0, 0, 0)
+
+    def close(self):
+        if self._h:
+            if self._pending:
+                self.save_entry()
+            if self._lib.rootw_close(self._h) != 0:
+                err = self.error
+                self._lib.rootw_abort(self._h)
+                self._h = None
+                raise IOError(err)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *a):
+        if exc_type is not None and self._h:
+            self._lib.rootw_abort(self._h)
+            self._h = None
+            return
+        self.close()
+
+    def __del__(self):
+        try:
+            if self._h:
+                self._lib.rootw_abort(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+
+def uevt_to_root(uevt_path: str, out_path: str,
+                 producers: Optional[List[str]] = None,
+                 verbose: bool = False) -> int:
+    """Convert a UEVT event file to a larcv-compatible .root file (the
+    converse of root_to_uevt): results flow back to reference-ecosystem
+    consumers. Returns entries written."""
+    from .uevt import EventFileReader
+
+    n = 0
+    r = EventFileReader(uevt_path)
+    with RootWriter(out_path) as w:
+        for e in range(r.n_entries):
+            for producer, images in r.read_entry(e, producers).items():
+                for img in images:
+                    w.append(producer, img)
+            w.set_id(*r.rse(e))
+            w.save_entry()
+            n += 1
+            if verbose and n % 100 == 0:
+                print(f"{n} entries", flush=True)
+    return n
 
 
 def image2d_trees(rf: RootFile) -> Dict[str, Tuple[str, str, int]]:
