@@ -137,3 +137,64 @@ def test_launch_runs_sweep(tmp_path):
     for name in ("lr_a", "lr_b"):
         ckpts = tmp_path / "out" / name / "checkpoints"
         assert ckpts.is_dir(), (tmp_path / "out" / name / "train.log").read_text()
+
+
+def _shuffle_file(src, dst, order):
+    """Rewrite a UEVT file with entries in the given order."""
+    r = EventFileReader(src)
+    with EventFileWriter(dst) as w:
+        for i in order:
+            ev = r.read_entry(i)
+            w.set_id(*r.rse(i))
+            for prod, imgs in ev.items():
+                for img in imgs:
+                    w.append(prod, img)
+            w.save_entry()
+    return dst
+
+
+def test_evaluate_files_rse_aligned(tmp_path):
+    """Entries are paired by (run,subrun,event), not file position
+    (VERDICT round-2 item 6; reference rse discipline,
+    deploy/run_ubresnet_precropped.py:163-168): a score file written in
+    reversed order still evaluates perfect."""
+    truth = make_synthetic_file(str(tmp_path / "t.uevt"), n_events=4,
+                                hw=(64, 64))
+    perfect = _write_scores(str(tmp_path / "p.uevt"), truth)
+    shuffled = _shuffle_file(perfect, str(tmp_path / "ps.uevt"),
+                             [3, 1, 0, 2])
+    m = evaluate_files(shuffled, truth, "scores", adc_producer=None)
+    assert m["acc_total"] == 1.0
+    assert m["n_entries"] == 4.0
+
+
+def test_evaluate_files_rse_mismatch_diagnostic(tmp_path):
+    """Disjoint event-id sets raise with the offending ids named."""
+    truth = make_synthetic_file(str(tmp_path / "t.uevt"), n_events=3,
+                                hw=(32, 32))
+    perfect = _write_scores(str(tmp_path / "p.uevt"), truth)
+    r = EventFileReader(perfect)
+    bad = str(tmp_path / "bad.uevt")
+    with EventFileWriter(bad) as w:
+        for i in range(len(r)):
+            ev = r.read_entry(i)
+            w.set_id(7, 7, 100 + i)  # ids that exist in no truth file
+            for prod, imgs in ev.items():
+                for img in imgs:
+                    w.append(prod, img)
+            w.save_entry()
+    with pytest.raises(ValueError, match=r"\(7, 7, 100\)"):
+        evaluate_files(bad, truth, "scores", adc_producer=None)
+
+
+def test_compare_score_files_rse_aligned(tmp_path):
+    from ubresnet_tpu.parity import compare_score_files
+
+    truth = make_synthetic_file(str(tmp_path / "t.uevt"), n_events=4,
+                                hw=(64, 64))
+    a = _write_scores(str(tmp_path / "a.uevt"), truth)
+    b = _shuffle_file(a, str(tmp_path / "b.uevt"), [2, 0, 3, 1])
+    m = compare_score_files(a, b, "scores", "scores")
+    assert m["label_agreement"] == 1.0
+    for c in range(3):
+        assert m[f"meanabsdiff_class{c}"] == 0.0

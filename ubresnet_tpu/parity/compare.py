@@ -56,18 +56,23 @@ def compare_score_files(
     dump_dir is set, writes colormapped ADC/score/|diff| PNGs per
     entry (the reference's cv2 dumps, tf/compare_caffe_to_tf.py:
     101-121)."""
+    from ubresnet_tpu.parity.align import align_entries
+
     ra, rb = EventFileReader(file_a), EventFileReader(file_b)
     radc = EventFileReader(adc_file) if adc_file else None
-    n = min(len(ra), len(rb))
-    if n_entries is not None:
-        n = min(n, n_entries)
+    # pair by (run,subrun,event), not by file position (reference rse
+    # discipline, deploy/run_ubresnet_precropped.py:163-168); the ADC
+    # file is aligned to file A the same way
+    pairs = align_entries(ra, rb, n_entries)
+    adc_pairs = dict(align_entries(ra, radc)) if radc is not None else {}
+    n = len(pairs)
     acc: Dict[str, List[float]] = {}
-    for i in range(n):
+    for i, ib in pairs:
         sa = [im.pixels for im in ra.read_entry(i)[producer_a]]
-        sb = [im.pixels for im in rb.read_entry(i)[producer_b]]
+        sb = [im.pixels for im in rb.read_entry(ib)[producer_b]]
         adc = None
         if radc is not None:
-            imgs = radc.read_entry(i)[adc_producer]
+            imgs = radc.read_entry(adc_pairs[i])[adc_producer]
             adc = imgs[0].pixels
         m = score_diff(sa, sb, adc, adc_threshold)
         for k, v in m.items():

@@ -63,15 +63,19 @@ def evaluate_files(
 ) -> Dict[str, float]:
     """Aggregate accuracy of a score file vs a truth file (pixel-summed
     over entries, the ana/ 'standard test sample' evaluation)."""
+    from ubresnet_tpu.parity.align import align_entries
+
     rs = EventFileReader(score_file)
     rt = EventFileReader(truth_file)
-    n = min(len(rs), len(rt))
-    if n_entries is not None:
-        n = min(n, n_entries)
+    # pair score and truth entries by (run,subrun,event), not by file
+    # position (reference rse discipline,
+    # deploy/run_ubresnet_precropped.py:163-168)
+    pairs = align_entries(rs, rt, n_entries)
+    n = len(pairs)
     confusion = None
-    for i in range(n):
-        sev = rs.read_entry(i, producers=[score_producer])
-        tev = rt.read_entry(i)
+    for i_s, i_t in pairs:
+        sev = rs.read_entry(i_s, producers=[score_producer])
+        tev = rt.read_entry(i_t)
         scores = np.stack([im.pixels for im in sev[score_producer]])
         truths = tev[truth_producer]
         if plane is not None:
