@@ -262,3 +262,73 @@ def test_fused_train_model_grads_match_xla(rng):
         assert float(jnp.abs(a - b).max()) < 1e-4 * gsc, (
             jax.tree_util.keystr(pa)
         )
+
+
+@pytest.mark.parametrize("k,ci,co,p", [(3, 16, 16, 8), (3, 32, 16, 4),
+                                       (7, 16, 16, 8), (1, 32, 32, 4)])
+def test_conv_dw_matches_xla(rng, k, ci, co, p):
+    """pallas_conv_dw (all-Pallas grad-weights accumulator) == XLA's
+    grad of the packed conv w.r.t. the unpacked kernel."""
+    from ubresnet_tpu.ops.packed import packed_conv
+    from ubresnet_tpu.ops.pallas_conv import pallas_conv_dw
+
+    H, WC = 16, 32
+    x = jnp.asarray(rng.randn(2, H, WC, p * ci), jnp.float32)
+    w = jnp.asarray(rng.randn(k, k, ci, co) * 0.1, jnp.float32)
+    dy = jnp.asarray(rng.randn(2, H, WC, p * co), jnp.float32)
+    _, pullback = jax.vjp(lambda wk: packed_conv(x, wk, p), w)
+    (want,) = pullback(dy)
+    got = pallas_conv_dw(x, dy, p=p, kw=k, th=4, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-3
+    )
+
+
+@pytest.mark.parametrize("p,ci,co,H,W", [(4, 32, 32, 8, 64),
+                                         (8, 16, 16, 16, 128)])
+def test_conv_s2k4_matches_xla(rng, p, ci, co, H, W):
+    """fused_conv_s2k4 == stride-2 k4 pad-1 cross-correlation (the
+    deconv2x input-gradient) computed by XLA on unpacked tensors."""
+    from ubresnet_tpu.ops.pallas_conv import fused_conv_s2k4
+
+    y = jnp.asarray(rng.randn(2, H, W, ci), jnp.float32)
+    w = jnp.asarray(rng.randn(4, 4, ci, co) * 0.1, jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        y, w, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    got = fused_conv_s2k4(pack(y, 2 * p), w, p=p, th=4, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(unpack(got, p)), np.asarray(want), atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("p,ci,co,H,W", [(4, 32, 32, 8, 64),
+                                         (8, 16, 16, 16, 128)])
+def test_deconv2x_ad_grads_match_packed(rng, p, ci, co, H, W):
+    """pallas_deconv2x_ad fwd + custom-VJP (s2k4 dx, deconv_dw dW) ==
+    XLA packed_deconv2x grads."""
+    from ubresnet_tpu.ops.packed import packed_deconv2x
+    from ubresnet_tpu.ops.pallas_conv import (
+        deconv_ad_supported,
+        pallas_deconv2x_ad,
+    )
+
+    assert deconv_ad_supported(p, ci, co)
+    x = jnp.asarray(rng.randn(2, H, W // p, p * ci), jnp.float32)
+    w = jnp.asarray(rng.randn(4, 4, ci, co) * 0.1, jnp.float32)
+    r = jnp.asarray(rng.randn(2, 2 * H, 2 * W // p, p * co), jnp.float32)
+
+    def loss_pal(x, w):
+        return jnp.sum(pallas_deconv2x_ad(x, w, p, True) * r)
+
+    def loss_xla(x, w):
+        return jnp.sum(packed_deconv2x(x, w, p) * r)
+
+    fp, (dxp, dwp) = jax.value_and_grad(loss_pal, (0, 1))(x, w)
+    fx, (dxx, dwx) = jax.value_and_grad(loss_xla, (0, 1))(x, w)
+    np.testing.assert_allclose(fp, fx, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(dxp), np.asarray(dxx),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dwp), np.asarray(dwx),
+                               rtol=1e-4, atol=1e-3)

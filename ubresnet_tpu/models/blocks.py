@@ -523,26 +523,43 @@ class Deconv2x(nn.Module):
                 raise ValueError("packed deconv requires exact 2x width")
             cdt = self.policy.compute_dtype
             pe = _p_eff(p, cin, x.shape[2] * p)
-            # Pallas deconv (no BN/bias → train/eval math identical, but
-            # the kernel has no VJP: eval only; training keeps the
-            # differentiable XLA path).
+            # Pallas deconv (no BN/bias → train/eval math identical):
+            # eval uses the forward-only kernel; training uses the
+            # custom-VJP variant (Pallas on all three legs) when the
+            # shape fits, keeping the packed train zone XLA-conv-free.
             if (
-                self.policy.fused_eval
-                and not train
-                and not self.is_initializing()
+                not self.is_initializing()
                 and th == 2 * x.shape[1]
                 and cin * pe >= 128
                 and 2 * cin <= 128
             ):
-                from ubresnet_tpu.ops.pallas_conv import fused_packed_deconv2x
-
-                y = fused_packed_deconv2x(
-                    _repack(x.astype(cdt), p, pe),
-                    kernel.astype(cdt),
-                    p=pe,
-                    interpret=jax.default_backend() != "tpu",
+                from ubresnet_tpu.ops.pallas_conv import (
+                    deconv_ad_supported,
+                    fused_packed_deconv2x,
+                    pallas_deconv2x_ad,
                 )
-                return _repack(y, pe, p)
+
+                interp = jax.default_backend() != "tpu"
+                if self.policy.fused_eval and not train:
+                    y = fused_packed_deconv2x(
+                        _repack(x.astype(cdt), p, pe),
+                        kernel.astype(cdt),
+                        p=pe,
+                        interpret=interp,
+                    )
+                    return _repack(y, pe, p)
+                if (
+                    self.policy.fused_train
+                    and train
+                    and deconv_ad_supported(pe, cin, self.features)
+                ):
+                    y = pallas_deconv2x_ad(
+                        _repack(x.astype(cdt), p, pe),
+                        kernel.astype(cdt),
+                        pe,
+                        interp,
+                    )
+                    return _repack(y, pe, p)
             return packed_deconv2x(
                 x.astype(cdt), kernel.astype(cdt), p, target_h=th
             )

@@ -85,21 +85,25 @@ def halo_weights(w: jax.Array, p: int):
     return wmain, whalo
 
 
-def _combo(x2d: jax.Array, hwci: int, wc: int) -> jax.Array:
-    """(M, pci) flat rows → (M, 128) halo block:
-    lanes [0, hwci)      = last hwci channels of the PREVIOUS cell
-    lanes [hwci, 2*hwci) = first hwci channels of the NEXT cell
-    zeroed at image edges / row boundaries (cell 0 / cell wc-1).
+def _combo2(prev_src: jax.Array, nxt_src: jax.Array, hwci: int,
+            wc: int) -> jax.Array:
+    """Two-source halo block: (M, 128) with
+    lanes [0, hwci)      = last hwci channels of prev_src's PREVIOUS row
+    lanes [hwci, 2*hwci) = first hwci channels of nxt_src's NEXT row
+    zeroed at image edges / row boundaries (cell 0 / cell wc-1, where
+    cell = flat row index mod wc). prev_src == nxt_src gives the
+    stride-1 neighbour-cell halo; the stride-2 kernels pass the odd /
+    even cell-parity streams.
 
     Built with vector rolls in VMEM: DMA cannot place sub-128-aligned
     channel slices, and materializing the halo in HBM via an XLA
     pad+concat costs a full ~5 ms memory pass at model shapes — both
     measured and rejected."""
-    m = x2d.shape[0]
+    m = prev_src.shape[0]
     # Mosaic's rotate requires 32-bit data; round-trip bf16 via f32.
     f32 = jnp.float32
-    prev = pltpu.roll(x2d[:, -COMBO:].astype(f32), shift=1, axis=0)
-    nxt = pltpu.roll(x2d[:, :COMBO].astype(f32), shift=m - 1, axis=0)
+    prev = pltpu.roll(prev_src[:, -COMBO:].astype(f32), shift=1, axis=0)
+    nxt = pltpu.roll(nxt_src[:, :COMBO].astype(f32), shift=m - 1, axis=0)
     a = pltpu.roll(prev, shift=hwci, axis=1)  # ch 128-hwci+j -> lane j
     b = pltpu.roll(nxt, shift=hwci, axis=1)  # ch j -> lane hwci+j
     lane = jax.lax.broadcasted_iota(jnp.int32, (m, COMBO), 1)
@@ -109,7 +113,12 @@ def _combo(x2d: jax.Array, hwci: int, wc: int) -> jax.Array:
     right = jnp.where(cell < wc - 1, b, zero)
     return jnp.where(
         lane < hwci, left, jnp.where(lane < 2 * hwci, right, zero)
-    ).astype(x2d.dtype)
+    ).astype(prev_src.dtype)
+
+
+def _combo(x2d: jax.Array, hwci: int, wc: int) -> jax.Array:
+    """Single-source neighbour-cell halo block (see _combo2)."""
+    return _combo2(x2d, x2d, hwci, wc)
 
 
 def _halo_stream(x_hbm, xs, sems, *, nh, th, wc, hb, sem_idx=None):
@@ -857,6 +866,365 @@ def fused_packed_deconv2x(
     return out.reshape(bsz, 2 * h, 2 * wc, p * co)
 
 
+# ----------------------------------------- deconv2x backward (dx, dW)
+#
+# Both legs view the deconv's output-side tensor at pack factor 2p — a
+# pure reshape of the (b, 2h, 2wc, p*co) forward layout to
+# (b, 2h, wc, 2p*co) — which aligns output cells 1:1 with input cells:
+# input col w_i = p*m + oi maps to output cols 2*w_i + k - 1, all inside
+# output cell m (of 2p columns) except k=0 at oi=0 (previous cell's last
+# column) and k=3 at oi=p-1 (next cell's first) — one COMBO halo block.
+# Row taps pair input row r with output rows 2r-1..2r+2, streamed as a
+# (2*th+2)-row window and selected per-tap with stride-2 sublane views.
+
+
+def _s2_stream(y_hbm, ys, sems, *, nh, th, wc, sem_idx=None):
+    """Double-buffered streaming of the stride-2-side rows: for a tile
+    of th stride-1 rows starting at r0 = hj*th, loads the 2*th+2
+    stride-2-side rows [2*r0-1, 2*r0+2*th] into the slot, zeroing the
+    out-of-image first/last row at the image edges."""
+    idx = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    def _dma(j, slot, op):
+        bj = j // nh
+        hj = j % nh
+
+        def fill(src_row, dst_row, nrows):
+            off = src_row * wc
+            if (th * wc) % 4 == 0 and wc % 8 == 0:
+                # offsets are 2*hj*(th*wc) - {0, wc}: assert the 8-row
+                # divisibility Mosaic's prover can't always derive
+                off = pl.multiple_of(off, 8)
+            sem = sems.at[slot] if sem_idx is None else sems.at[slot, sem_idx]
+            dma = pltpu.make_async_copy(
+                y_hbm.at[bj, pl.ds(off, nrows * wc)],
+                ys.at[slot, pl.ds(dst_row * wc, nrows * wc)],
+                sem,
+            )
+            dma.start() if op == "start" else dma.wait()
+
+        if nh == 1:
+            fill(0, 1, 2 * th)
+        else:
+
+            @pl.when(hj == 0)
+            def _():
+                fill(0, 1, 2 * th + 1)
+
+            @pl.when(jnp.logical_and(hj > 0, hj < nh - 1))
+            def _():
+                fill(2 * hj * th - 1, 0, 2 * th + 2)
+
+            @pl.when(hj == nh - 1)
+            def _():
+                fill(2 * hj * th - 1, 0, 2 * th + 1)
+
+    slot = jax.lax.rem(idx, 2)
+
+    @pl.when(idx == 0)
+    def _():
+        _dma(idx, slot, "start")
+
+    @pl.when(idx + 1 < nprog)
+    def _():
+        _dma(idx + 1, jax.lax.rem(idx + 1, 2), "start")
+
+    _dma(idx, slot, "wait")
+    hj = idx % nh
+
+    def zero_rows(row0):
+        ys[slot, pl.ds(row0, wc)] = jnp.zeros((wc, ys.shape[2]), ys.dtype)
+
+    @pl.when(hj == 0)
+    def _():
+        zero_rows(0)
+
+    @pl.when(hj == nh - 1)
+    def _():
+        zero_rows((2 * th + 1) * wc)
+
+    return slot
+
+
+def _rowsel2(y_all, kr: int, th: int, wc: int):
+    """From the (2*th+2)-row stride-2-side window (flat rows), the wc
+    cells of rows 2j + kr for j in [0, th): local row of stride-2-side
+    row (2j + kr - 1) is 2j + kr (window starts one row early)."""
+    c = y_all.shape[-1]
+    v = y_all[kr * wc : kr * wc + 2 * th * wc]
+    return v.reshape(th, 2 * wc, c)[:, :wc].reshape(th * wc, c)
+
+
+def s2k4_weights(w: jax.Array, p: int):
+    """(4, 4, cin, cout) cross-correlation taps of the stride-2 k4
+    pad-1 conv (the deconv2x input-gradient: dx[i] = sum_k w[k]
+    dy[2i+k-1]) → per-row-tap matmul weights against the 2p-packed
+    stride-2 side:
+
+    Wmain (4, 2p*cin, p*cout): row u*cin+c is output-side column u of
+      the cell; Whalo (4, COMBO, p*cout): rows [0,cin) the previous
+      cell's last column, rows [cin,2cin) the next cell's first."""
+    kh, kw, cin, cout = w.shape
+    assert kh == 4 and kw == 4, "s2k4 weights derived for k=4 s=2 p=1"
+    wm = jnp.zeros((4, 2 * p * cin, p * cout), w.dtype)
+    wh = jnp.zeros((4, COMBO, p * cout), w.dtype)
+    for oo in range(p):
+        for kc in range(4):
+            u = 2 * oo + kc - 1
+            col = slice(oo * cout, (oo + 1) * cout)
+            if 0 <= u < 2 * p:
+                wm = wm.at[:, u * cin : (u + 1) * cin, col].add(w[:, kc])
+            elif u < 0:
+                wh = wh.at[:, 0:cin, col].add(w[:, kc])
+            else:  # u == 2p
+                wh = wh.at[:, cin : 2 * cin, col].add(w[:, kc])
+    return wm, wh
+
+
+def _s2k4_kernel(
+    y_hbm, wm_ref, wh_ref, out_ref, ys, sems, *, cin: int, th: int,
+    wc: int, nh: int,
+):
+    m = th * wc
+    slot = _s2_stream(y_hbm, ys, sems, nh=nh, th=th, wc=wc)
+    yall = ys[slot]
+    pco = out_ref.shape[-1]
+    acc = jnp.zeros((m, pco), jnp.float32)
+    for kr in range(4):
+        yk = _rowsel2(yall, kr, th, wc)
+        ck = _combo(yk, cin, wc)
+        acc = acc + jnp.dot(
+            yk, wm_ref[kr], preferred_element_type=jnp.float32
+        )
+        acc = acc + jnp.dot(
+            ck, wh_ref[kr], preferred_element_type=jnp.float32
+        )
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "th", "interpret"))
+def fused_conv_s2k4(
+    y: jax.Array,
+    w: jax.Array,
+    *,
+    p: int,
+    th: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Stride-2 k4 pad-1 cross-correlation on the 2p-packed stride-2
+    side: out[r, i] = sum_{kr,kc} w[kr,kc] y[2r+kr-1, 2i+kc-1] — the
+    input-gradient of ConvTranspose2d(k=4, s=2, p=1) (and a standalone
+    strided conv). y: (b, 2h, wc, 2p*cin); w: (4, 4, cin, cout).
+    Returns (b, h, wc, p*cout)."""
+    bsz, h2, wc, pci2 = y.shape
+    _, _, cin, cout = w.shape
+    assert pci2 == 2 * p * cin, (pci2, p, cin)
+    assert pci2 >= COMBO and 2 * cin <= COMBO
+    h = h2 // 2
+    pco = p * cout
+    nb = y.dtype.itemsize
+    th = _fit_th(h, th, lambda t: wc * (
+        2 * (2 * t + 2) * pci2 * nb           # ys double buffer
+        + 4 * t * (pci2 + COMBO) * 4          # rowsel + combo f32 temps
+        + t * pco * (4 + nb)                  # acc + out block
+    ))
+    wm, wh = s2k4_weights(w, p)
+    nh = h // th
+    grid = (bsz * nh,)
+    kernel = functools.partial(
+        _s2k4_kernel, cin=cin, th=th, wc=wc, nh=nh
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th * wc, pco),
+            lambda i: (i // nh, i % nh, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, h * wc, pco), y.dtype),
+        scratch_shapes=[
+            # +2 tail rows: the per-tap contiguous row slice for
+            # kr in {2,3} extends past the 2*th+2 streamed rows (the
+            # excess rows are never selected, but the slice must exist)
+            pltpu.VMEM((2, (2 * th + 4) * wc, pci2), y.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h * wc * 4 * (pci2 + COMBO) * pco,
+            bytes_accessed=bsz * h * wc * (2 * pci2 + pco) * nb,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(y.reshape(bsz, h2 * wc, pci2), wm.astype(y.dtype), wh.astype(y.dtype))
+    return out.reshape(bsz, h, wc, pco)
+
+
+def _deconv_dw_kernel(
+    x_hbm, dy_hbm, dwm_ref, dwh_ref, xs, dys, sems, *, co: int, th: int,
+    wc: int, nh: int,
+):
+    """Grad-weights of deconv2x: dwm[kr] += x_tile^T @ dy_rows(kr),
+    dwh[kr] += x_tile^T @ combo(dy_rows(kr)) — accumulated across the
+    sequential grid like _dw_kernel."""
+    idx = pl.program_id(0)
+    m = th * wc
+    slot = _halo_stream(x_hbm, xs, sems, nh=nh, th=th, wc=wc, hb=0,
+                        sem_idx=0)
+    _s2_stream(dy_hbm, dys, sems, nh=nh, th=th, wc=wc, sem_idx=1)
+
+    @pl.when(idx == 0)
+    def _():
+        dwm_ref[...] = jnp.zeros(dwm_ref.shape, dwm_ref.dtype)
+        dwh_ref[...] = jnp.zeros(dwh_ref.shape, dwh_ref.dtype)
+
+    xt = xs[slot]
+    dyall = dys[slot]
+    contract_rows = (((0,), (0,)), ((), ()))
+    for kr in range(4):
+        dyk = _rowsel2(dyall, kr, th, wc)
+        ck = _combo(dyk, co, wc)
+        dwm_ref[kr] += jax.lax.dot_general(
+            xt[0:m], dyk, contract_rows, preferred_element_type=jnp.float32
+        )
+        dwh_ref[kr] += jax.lax.dot_general(
+            xt[0:m], ck, contract_rows, preferred_element_type=jnp.float32
+        )
+
+
+def deconv_dw_adjoint(dwm: jax.Array, dwh: jax.Array, p: int, ci: int,
+                      co: int) -> jax.Array:
+    """Fold the packed-domain deconv grad-weight blocks back onto the
+    unpacked (4, 4, ci, co) ConvTranspose kernel: input offset oi / tap
+    kc reached output-side column u = 2*oi + kc - 1 (cell-local at 2p),
+    with u = -1 / 2p in the halo block's two lane groups."""
+    dw = jnp.zeros((4, 4, ci, co), dwm.dtype)
+    for oi in range(p):
+        rows = slice(oi * ci, (oi + 1) * ci)
+        for kc in range(4):
+            u = 2 * oi + kc - 1
+            if 0 <= u < 2 * p:
+                blk = dwm[:, rows, u * co : (u + 1) * co]
+            elif u < 0:
+                blk = dwh[:, rows, 0:co]
+            else:  # u == 2p
+                blk = dwh[:, rows, co : 2 * co]
+            dw = dw.at[:, kc].add(blk)
+    return dw
+
+
+@functools.partial(jax.jit, static_argnames=("p", "th", "interpret"))
+def pallas_deconv_dw(
+    x: jax.Array,
+    dy: jax.Array,
+    *,
+    p: int,
+    th: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Grad-weights of ConvTranspose2d(k=4, s=2, p=1) on packed
+    tensors, entirely in Pallas: x (b, h, wc, p*ci) is the deconv's
+    primal input, dy (b, 2h, wc, 2p*co) the output cotangent in the
+    2p-packed view. Returns the unpacked (4, 4, ci, co) gradient."""
+    bsz, h, wc, pci = x.shape
+    pco2 = dy.shape[-1]
+    ci = pci // p
+    co = pco2 // (2 * p)
+    assert pci >= COMBO and pco2 >= COMBO and 2 * co <= COMBO
+    nb = x.dtype.itemsize
+    th = _fit_th(h, th, lambda t: wc * (
+        2 * t * pci * nb                      # x double buffer
+        + 2 * (2 * t + 2) * pco2 * nb         # dy double buffer
+        + 4 * t * (pco2 + COMBO) * 4          # rowsel + combo f32 temps
+        + 0
+    ) + 4 * pci * (pco2 + COMBO) * 4)         # accumulators
+    nh = h // th
+    grid = (bsz * nh,)
+    kernel = functools.partial(
+        _deconv_dw_kernel, co=co, th=th, wc=wc, nh=nh
+    )
+    dwm, dwh = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (4, pci, pco2), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (4, pci, COMBO), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, pci, pco2), jnp.float32),
+            jax.ShapeDtypeStruct((4, pci, COMBO), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, th * wc, pci), x.dtype),
+            # +2 tail rows: see fused_conv_s2k4's scratch comment
+            pltpu.VMEM((2, (2 * th + 4) * wc, pco2), dy.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h * wc * 4 * pci * (pco2 + COMBO),
+            bytes_accessed=bsz * h * wc * (pci + 2 * pco2) * nb,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x.reshape(bsz, h * wc, pci), dy.reshape(bsz, 2 * h * wc, pco2))
+    return deconv_dw_adjoint(dwm, dwh, p, ci, co)
+
+
+def deconv_ad_supported(p: int, ci: int, co: int) -> bool:
+    """All three legs of the deconv2x VJP must fit their kernels."""
+    return (
+        p * ci >= COMBO      # fwd input lanes
+        and 2 * ci <= COMBO  # fwd halo
+        and 2 * p * co >= COMBO  # dy lanes in the 2p view (dx, dW)
+        and 2 * co <= COMBO      # dy halo
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def pallas_deconv2x_ad(x, w, p, interpret=False):
+    """Differentiable ConvTranspose2d(k=4, s=2, p=1) on packed tensors
+    — Pallas on all three legs (fwd: fused_packed_deconv2x; dx: the
+    stride-2 k4 kernel; dW: the deconv grad-weights accumulator), so
+    the training graph keeps no XLA conv at the decoder upsamples.
+    x: (b, h, wc, p*ci); w: (4, 4, ci, co) natural ConvTranspose
+    layout. Returns (b, 2h, 2wc, p*co)."""
+    return fused_packed_deconv2x(x, w, p=p, interpret=interpret)
+
+
+def _deconv_ad_fwd(x, w, p, interpret):
+    return fused_packed_deconv2x(x, w, p=p, interpret=interpret), (x, w)
+
+
+def _deconv_ad_bwd(p, interpret, saved, dy):
+    x, w = saved
+    bsz, h2, wc2, pco = dy.shape
+    dy2p = dy.reshape(bsz, h2, wc2 // 2, 2 * pco)  # the 2p-packed view
+    wt = w.transpose(0, 1, 3, 2)  # (4, 4, co, ci): dx contracts co
+    dx = fused_conv_s2k4(dy2p, wt.astype(dy.dtype), p=p,
+                         interpret=interpret)
+    dw = pallas_deconv_dw(x, dy2p, p=p, interpret=interpret)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+pallas_deconv2x_ad.defvjp(_deconv_ad_fwd, _deconv_ad_bwd)
+
+
 # ------------------------------------------------- whole-block kernel
 
 
@@ -1054,21 +1422,183 @@ def fused_basic_block(
     return out.reshape(bsz, h, wc, pco)
 
 
+# --------------------------------------------------- dW (grad-weights)
+
+
+def halo_weights_adjoint(dwm: jax.Array, dwh: jax.Array, p: int,
+                         kw: int, ci: int, co: int) -> jax.Array:
+    """Adjoint of halo_weights: gather the per-(offset, tap) gradient
+    blocks back onto the unpacked (kh, kw, ci, co) kernel. Each
+    unpacked tap was scattered to p (offset, position) slots by
+    halo_weights; its gradient is the sum over those slots. Tiny
+    tensors — runs as traced XLA adds."""
+    kh = dwm.shape[0]
+    hw = kw // 2
+    dw = jnp.zeros((kh, kw, ci, co), dwm.dtype)
+    for oo in range(p):
+        for t in range(kw):
+            u = oo + t - hw
+            col = slice(oo * co, (oo + 1) * co)
+            if 0 <= u < p:
+                blk = dwm[:, u * ci : (u + 1) * ci, col]
+            elif u < 0:
+                row = (u + hw) * ci
+                blk = dwh[:, row : row + ci, col]
+            else:
+                row = hw * ci + (u - p) * ci
+                blk = dwh[:, row : row + ci, col]
+            dw = dw.at[:, t].add(blk)
+    return dw
+
+
+def _dw_kernel(
+    x_hbm,
+    dy_hbm,
+    dwm_ref,
+    dwh_ref,
+    xs,
+    dys,
+    sems,
+    *,
+    kh: int,
+    hwci: int,
+    th: int,
+    wc: int,
+    nh: int,
+):
+    """Grad-weights for the stride-1 packed conv, halo-matmul form:
+    dWmain[k] = sum_tiles x_rows(k)^T @ dy, dWhalo[k] = combo(k)^T @ dy.
+    TPU grid steps are sequential, so both outputs accumulate in VMEM
+    (constant out index maps) and only the final program's state lands
+    in HBM."""
+    idx = pl.program_id(0)
+    m = th * wc
+    slot = _halo_stream(x_hbm, xs, sems, nh=nh, th=th, wc=wc, hb=kh // 2,
+                        sem_idx=0)
+    _halo_stream(dy_hbm, dys, sems, nh=nh, th=th, wc=wc, hb=0, sem_idx=1)
+
+    @pl.when(idx == 0)
+    def _():
+        dwm_ref[...] = jnp.zeros(dwm_ref.shape, dwm_ref.dtype)
+        dwh_ref[...] = jnp.zeros(dwh_ref.shape, dwh_ref.dtype)
+
+    xall = xs[slot]
+    dyt = dys[slot]
+    call = _combo(xall, hwci, wc) if hwci else None
+    contract_rows = (((0,), (0,)), ((), ()))
+    for k in range(kh):
+        row0 = k * wc
+        dwm_ref[k] += jax.lax.dot_general(
+            xall[row0 : row0 + m], dyt, contract_rows,
+            preferred_element_type=jnp.float32,
+        )
+        if hwci:
+            dwh_ref[k] += jax.lax.dot_general(
+                call[row0 : row0 + m], dyt, contract_rows,
+                preferred_element_type=jnp.float32,
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("p", "kw", "th", "interpret"))
+def pallas_conv_dw(
+    x: jax.Array,
+    dy: jax.Array,
+    *,
+    p: int,
+    kw: int,
+    th: int = 64,
+    interpret: bool = False,
+) -> jax.Array:
+    """Grad-weights of the stride-1 'same' packed conv, entirely in
+    Pallas: returns the UNPACKED (kh, kw, ci, co) kernel gradient.
+
+    x: (B, H, WC, p*ci) packed input (the conv's primal input);
+    dy: (B, H, WC, p*co) cotangent of the conv output. The kernel
+    accumulates the packed-domain dW blocks (same layout halo_weights
+    emits) over row tiles; halo_weights_adjoint folds them back to the
+    checkpoint layout. Replaces the XLA grad-weights conv so the train
+    zone has no XLA<->Pallas layout boundaries."""
+    bsz, h, wc, pci = x.shape
+    pco = dy.shape[-1]
+    ci = pci // p
+    co = pco // p
+    kh = kw
+    hwci = (kw // 2) * ci
+    assert 2 * hwci <= COMBO and pci >= COMBO
+    nb = x.dtype.itemsize
+    hb0 = kh // 2
+    th = _fit_th(h, th, lambda t: (
+        2 * (t + 2 * hb0) * wc * pci * nb     # xs double buffer
+        + 2 * t * wc * pco * nb               # dy double buffer
+        + 2 * (t + 2 * hb0) * wc * COMBO * 4  # combo + roll temps (f32)
+        + kh * (pci + COMBO) * pco * 4        # accumulators
+    ))
+    nh = h // th
+    grid = (bsz * nh,)
+    kernel = functools.partial(
+        _dw_kernel, kh=kh, hwci=hwci, th=th, wc=wc, nh=nh
+    )
+    dwm, dwh = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (kh, pci, pco), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (kh, COMBO, pco), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((kh, pci, pco), jnp.float32),
+            jax.ShapeDtypeStruct((kh, COMBO, pco), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, (th + 2 * hb0) * wc, pci), x.dtype),
+            pltpu.VMEM((2, th * wc, pco), dy.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h * wc * kh * (pci + COMBO) * pco,
+            bytes_accessed=bsz * h * wc * (pci + pco) * nb,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x.reshape(bsz, h * wc, pci), dy.reshape(bsz, h * wc, pco))
+    return halo_weights_adjoint(dwm, dwh, p, kw, ci, co)
+
+
 # ------------------------------------------ differentiable packed conv
 
 
+def _pad_channels(co: int) -> int:
+    """Smallest 128-divisor channel count >= co (powers of two divide
+    128): the dx leg zero-pads dy/kernel channels up to this so a
+    lane-filling pack factor exists even when co doesn't divide 128
+    (the num_classes=3 classifier head)."""
+    return co if COMBO % co == 0 else 1 << (co - 1).bit_length()
+
+
 def conv_ad_supported(p: int, kw: int, ci: int, co: int) -> bool:
-    """Both VJP legs must fit the halo-matmul kernel: the forward
-    contracts p*ci lanes (halo width (kw//2)*ci); the dx pass runs the
-    same kernel on dy with the flipped/transposed kernel, contracting
+    """All three VJP legs must fit their kernels: the forward contracts
+    p*ci lanes (halo width (kw//2)*ci); the dx pass runs the same
+    kernel on dy with the flipped/transposed kernel, contracting
     co-channel lanes — dy is re-viewed at its own lane-filling pack
-    factor (a free reshape), so the dx leg only needs a full-lane
-    factor for co to exist."""
+    factor (a free reshape), channel-padded to a 128-divisor when
+    needed; the dW pass shares the forward's lane constraints."""
+    cod = _pad_channels(co)
     return (
         p * ci >= COMBO
         and 2 * (kw // 2) * ci <= COMBO
         and 2 * (kw // 2) * co <= COMBO
-        and (p * co >= COMBO or (co <= COMBO and COMBO % co == 0))
+        and (p * co >= COMBO
+             or (cod <= COMBO and 2 * (kw // 2) * cod <= COMBO))
     )
 
 
@@ -1123,7 +1653,8 @@ def _conv_ad_bwd(p, interpret, saved, dy):
     wt = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
     # dy's lane-filling pack factor (free re-view); dx comes back with
     # ci channels at pb and is re-viewed to the caller's p.
-    pb = p if p * co >= COMBO else COMBO // co
+    cod = _pad_channels(co)
+    pb = p if p * co >= COMBO else COMBO // cod
     if pb != p and (dy.shape[2] * p) % pb:
         pb = p  # width not divisible by the lane-filling factor
     if pb * co >= COMBO:
@@ -1131,19 +1662,31 @@ def _conv_ad_bwd(p, interpret, saved, dy):
         dx = _conv_noepi(dyb, wt, pb, interpret)
         if pb != p:
             dx = pack(unpack(dx, pb), p)
+    elif pb != p and pb * cod >= COMBO:
+        # co doesn't divide 128 (the num_classes=3 classifier): zero-pad
+        # dy/kernel channels to cod so a lane-filling view exists — one
+        # pad materialisation on a co-channel tensor, still Pallas
+        dyu = jnp.pad(unpack(dy, p), ((0, 0),) * 3 + ((0, cod - co),))
+        wtp = jnp.pad(wt, ((0, 0), (0, 0), (0, cod - co), (0, 0)))
+        dx = pack(
+            unpack(_conv_noepi(pack(dyu, pb), wtp, pb, interpret), pb), p
+        )
     else:
         # no usable full-lane view (width not divisible): XLA packed
         # conv for the dx leg rather than tripping the kernel's
         # pci >= 128 assert
         dx = packed_conv(dy.astype(x.dtype), wt.astype(x.dtype), p)
 
-    # dW through XLA's grad of the packed conv: the packed-domain
-    # grad-weights conv is lane-efficient; the seemingly-free unpacked
-    # alternative (true FLOPs) runs 20x slower in practice — XLA's
-    # low-channel grad-weights conv is the same ~2% MXU-efficiency
-    # problem packing exists to solve (44.7 vs 2.3 ms/layer measured).
-    _, pullback = jax.vjp(lambda wk: packed_conv(x, wk, p), w)
-    (dw,) = pullback(dy.astype(x.dtype))
+    # dW entirely in Pallas (grad-weights accumulator kernel): the
+    # halo-matmul form costs the same inflated FLOPs as XLA's
+    # packed-domain grad-weights conv but keeps the train zone free of
+    # XLA<->Pallas layout boundaries. (Measured and rejected: dW via
+    # XLA grad-weights in the UNPACKED domain — true FLOPs but 20x
+    # slower (44.7 vs 2.3 ms/layer); low-channel grad-weights is the
+    # same ~2%-MXU problem packing exists to solve.)
+    dw = pallas_conv_dw(
+        x, dy.astype(x.dtype), p=p, kw=kw, interpret=interpret
+    )
     return dx.astype(x.dtype), dw.astype(w.dtype)
 
 
