@@ -89,6 +89,32 @@ def test_precropped_runner(tmp_path, tiny_model):
     assert scores[0].meta.rows == 64 and scores[0].meta.plane == 2
 
 
+def test_precropped_runner_root_output(tmp_path, tiny_model):
+    """Deploy writing scores directly into a larcv-compatible .root file
+    (reference IOManager(kWRITE) flow, run_ubresnet_precropped.py:93-95,
+    159-173), re-read by the native reader."""
+    from ubresnet_tpu.data.rootio import RootFile, native_available
+
+    if not native_available():
+        pytest.skip("native rootio unavailable")
+    model, variables = tiny_model
+    inp = make_synthetic_file(str(tmp_path / "in.uevt"), n_events=3, hw=(64, 64))
+    out = str(tmp_path / "out.root")
+    runner = PrecroppedRunner(model, variables, batch_size=2)
+    runner.run(inp, out, plane=2)
+
+    src = EventFileReader(inp)
+    with RootFile(out) as rf:
+        tree, branch = "image2d_uburn_plane2_tree", "image2d_uburn_plane2_branch"
+        assert rf.branches()[(tree, branch)]["entries"] == 3
+        for e in range(3):
+            rse, imgs = rf.read_event(tree, branch, e)
+            assert rse == src.rse(e)
+            assert len(imgs) == 3  # one image per class
+            total = sum(i.pixels for i in imgs)
+            np.testing.assert_allclose(total, 1.0, atol=1e-4)
+
+
 def test_wholeview_runner(tmp_path, tiny_model):
     model, variables = tiny_model
     # small "whole view": 128x192 with 64x64 tiles

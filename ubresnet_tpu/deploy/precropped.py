@@ -48,8 +48,10 @@ class PrecroppedRunner:
 
             self._fwd_sparse = sparse_forward_fn(model)
 
-    def _forward(self, batch: np.ndarray) -> np.ndarray:
-        """(b, h, w, 1) host batch → (b, h, w, c) probabilities.
+    def _dispatch(self, batch: np.ndarray) -> jax.Array:
+        """(b, h, w, 1) host batch → device (b, h, w, c) probabilities,
+        dispatched asynchronously (no readback — JAX returns a future;
+        the caller overlaps the next read/previous write with compute).
 
         Sparse mode ships COO nonzeros and densifies on-device
         (ops/sparse.py) — the H2D bytes drop ~50x on zero-suppressed
@@ -58,9 +60,7 @@ class PrecroppedRunner:
         if self.adc_threshold:
             batch = np.where(batch < self.adc_threshold, 0.0, batch)
         if not self.sparse:
-            return np.asarray(
-                jax.device_get(self._fwd(self.variables, jnp.asarray(batch)))
-            )
+            return self._fwd(self.variables, jnp.asarray(batch))
         from ubresnet_tpu.ops.sparse import sparsify
 
         sp = sparsify(batch[..., 0], bucket=self.sparse_bucket)
@@ -70,13 +70,15 @@ class PrecroppedRunner:
             pad = self._cap - k
             sp["indices"] = np.pad(sp["indices"], ((0, 0), (0, pad)))
             sp["values"] = np.pad(sp["values"], ((0, 0), (0, pad)))
-        out = self._fwd_sparse(
+        return self._fwd_sparse(
             self.variables,
             jax.device_put(sp["indices"]),
             jax.device_put(sp["values"]),
             batch.shape[1:3],
         )
-        return np.asarray(jax.device_get(out))
+
+    def _forward(self, batch: np.ndarray) -> np.ndarray:
+        return np.asarray(jax.device_get(self._dispatch(batch)))
 
     def run(
         self,
@@ -93,7 +95,14 @@ class PrecroppedRunner:
         )
         t_total = time.time()
         reader = EventFileReader(input_file)
-        writer = EventFileWriter(output_file)
+        if output_file.endswith(".root"):
+            # write-back path: scores flow to larcv consumers (reference
+            # IOManager(kWRITE), run_ubresnet_precropped.py:93-95)
+            from ubresnet_tpu.data.rootio import RootWriter
+
+            writer = RootWriter(output_file)
+        else:
+            writer = EventFileWriter(output_file)
         out_producer = out_producer or f"uburn_plane{plane}"
         n = len(reader) if n_entries is None else min(n_entries, len(reader))
 
@@ -119,6 +128,31 @@ class PrecroppedRunner:
             self._cap = round_capacity(max_nnz, self.sparse_bucket)
             timing["read"] += time.time() - t0
 
+        # one-deep software pipeline: dispatch batch k asynchronously,
+        # then write batch k-1 and read batch k+1 while the device
+        # computes (VERDICT round-2 item 8 — the batch-at-a-time loop
+        # left the chip idle during host read/write)
+        def drain(pending):
+            images, dev = pending
+            t0 = time.time()
+            scores = np.asarray(jax.device_get(dev))[: len(images)]
+            timing["forward"] += time.time() - t0
+            t0 = time.time()
+            for img, score in zip(images, scores):
+                writer.set_id(*img.rse)
+                for c in range(score.shape[-1]):
+                    writer.append(
+                        out_producer,
+                        Image2D(
+                            score[..., c].astype(np.float32),
+                            img.meta,
+                            *img.rse,
+                        ),
+                    )
+                writer.save_entry()
+            timing["write"] += time.time() - t0
+
+        pending = None
         for start in range(0, n, self.batch_size):
             idxs = range(start, min(start + self.batch_size, n))
             t0 = time.time()
@@ -140,27 +174,16 @@ class PrecroppedRunner:
                 batch = np.concatenate(
                     [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)]
                 )
-            scores = self._forward(batch)
-            if pad:
-                scores = scores[: len(images)]
+            dev = self._dispatch(batch)
             timing["forward"] += time.time() - t0
-
-            t0 = time.time()
-            for img, score in zip(images, scores):
-                writer.set_id(*img.rse)
-                for c in range(score.shape[-1]):
-                    writer.append(
-                        out_producer,
-                        Image2D(
-                            score[..., c].astype(np.float32),
-                            img.meta,
-                            *img.rse,
-                        ),
-                    )
-                writer.save_entry()
-            timing["write"] += time.time() - t0
+            if pending is not None:
+                drain(pending)
+            pending = (images, dev)
             if verbose:
-                print(f"entries [{start},{start + len(images)}) done", flush=True)
+                print(f"entries [{start},{start + len(images)}) dispatched",
+                      flush=True)
+        if pending is not None:
+            drain(pending)
 
         writer.close()
         timing["total"] = time.time() - t_total
