@@ -61,9 +61,19 @@ def stream_event_image2d(
     img_first=True,  # Image2D member order: _img then _meta, or reverse
     nested_point=True,  # origin as a nested Point2D frame vs two doubles
     tobject_base=False,  # EventBase carries a TObject header (larcv1-ish)
-    memberwise=False,  # stream the vector member-wise (unsupported case)
+    memberwise=False,  # stream the vector member-wise (kStreamedMemberWise)
 ) -> bytes:
-    """One streamed (object-wise) EventImage2D entry blob."""
+    """One streamed EventImage2D entry blob.
+
+    ``memberwise=True`` emits the ROOT member-wise STL layout
+    (TBufferFile::WriteSTLMemberWise): the vector frame carries
+    kStreamedMemberWise (0x4000) in its version, then
+    {u16 element-class version, i32 n}, then the element class's data
+    members streamed member-by-member — member A for all n elements
+    consecutively, then member B for all n. Object-type members
+    (vector<float> _img, ImageMeta _meta) keep their per-element
+    frames inside each group.
+    """
     ifmt = ">QQQ" if int_width == 8 else ">III"
 
     base = b""
@@ -73,7 +83,25 @@ def stream_event_image2d(
     base += struct.pack(ifmt, *rse)
     base_f = frame(3, base)
 
-    img_frames = b""
+    vec_f = stream_image_vector(
+        images, int_width=int_width, img_first=img_first,
+        nested_point=nested_point, memberwise=memberwise,
+    )
+    return frame(10, base_f + vec_f)
+
+
+def stream_image_vector(
+    images,
+    int_width=8,
+    img_first=True,
+    nested_point=True,
+    memberwise=False,
+) -> bytes:
+    """A streamed vector<Image2D> frame (the `_image_v` member) —
+    object-wise or member-wise. Also the per-entry payload of a split
+    tree's `_image_v` leaf branch."""
+    ifmt = ">QQQ" if int_width == 8 else ">III"
+    vfs, mfs, img_frames = [], [], b""
     for arr, meta in images:
         rows, cols = arr.shape
         # larcv stores column-major: _img[col*rows + row]
@@ -90,11 +118,19 @@ def stream_event_image2d(
             + struct.pack(">dd", meta["width"], meta["height"])
             + struct.pack(ifmt, rows, cols, meta.get("plane", 0)),
         )
+        vfs.append(vf)
+        mfs.append(mf)
         img_frames += frame(5, vf + mf if img_first else mf + vf)
 
-    vec_f = frame(6, struct.pack(">i", len(images)) + img_frames,
-                  memberwise=memberwise)
-    return frame(10, base_f + vec_f)
+    if memberwise:
+        groups = (vfs, mfs) if img_first else (mfs, vfs)
+        body = (
+            struct.pack(">Hi", 5, len(images))  # elem class ver, count
+            + b"".join(groups[0])
+            + b"".join(groups[1])
+        )
+        return frame(6, body, memberwise=True)
+    return frame(6, struct.pack(">i", len(images)) + img_frames)
 
 
 # ------------------------------------------------------------- compression
@@ -265,6 +301,7 @@ def write_larcv_like(
     frame_size: int = 1 << 23,
     entries_per_basket: int = 2,
     seed: int = 0,
+    split=False,  # split tree: per-member leaf branches
     **stream_kw,
 ):
     """A synthetic larcv-style file: one image2d tree per producer
@@ -272,7 +309,15 @@ def write_larcv_like(
     with physical metas, multiple baskets per branch, plus decoy
     records (TTree metadata stub, StreamerInfo, a freed gap) that the
     reader must skip. Returns the truth {producer: [(arrays, metas,
-    rse) per entry]}."""
+    rse) per entry]}.
+
+    ``split=True`` writes the tree split one level (ROOT splitlevel>0
+    on an EventImage2D branch): each EventBase member gets its own
+    leaf branch — `<branch>._run/._subrun/._event` as raw big-endian
+    fixed-size ints, `._producer` as a TString — and the image vector
+    streams per entry into `<branch>._image_v` as a bare
+    vector<Image2D> frame (object-wise or member-wise per
+    ``stream_kw``)."""
     rng = np.random.RandomState(seed)
     w = RootFileWriter(path, compression=compression, frame_size=frame_size)
     # decoy records a real file would carry
@@ -303,12 +348,41 @@ def write_larcv_like(
                                      **stream_kw))
             per_entry.append(([a for a, _ in imgs], metas, rse))
         truth[prod] = per_entry
-        for i in range(0, n_entries, entries_per_basket):
-            w.add_basket(
-                "image2d_%s_tree" % prod,
-                "image2d_%s_branch" % prod,
-                blobs[i : i + entries_per_basket],
-            )
+        tree = "image2d_%s_tree" % prod
+        branch = "image2d_%s_branch" % prod
+        if split:
+            intw = stream_kw.get("int_width", 8)
+            ifmt = ">Q" if intw == 8 else ">I"
+            vec_kw = {
+                k: v for k, v in stream_kw.items()
+                if k in ("int_width", "img_first", "nested_point",
+                         "memberwise")
+            }
+            leaves = {
+                "._image_v": [
+                    stream_image_vector(
+                        list(zip(arrs, metas)), **vec_kw
+                    )
+                    for arrs, metas, _ in per_entry
+                ],
+                "._producer": [_tstring(prod)] * n_entries,
+                "._run": [struct.pack(ifmt, r) for _, _, (r, s, e)
+                          in per_entry],
+                "._subrun": [struct.pack(ifmt, s) for _, _, (r, s, e)
+                             in per_entry],
+                "._event": [struct.pack(ifmt, e) for _, _, (r, s, e)
+                            in per_entry],
+            }
+            for leaf, entries in leaves.items():
+                fixed = leaf in ("._run", "._subrun", "._event")
+                for i in range(0, n_entries, entries_per_basket):
+                    w.add_basket(tree, branch + leaf,
+                                 entries[i : i + entries_per_basket],
+                                 fixed_size=fixed)
+        else:
+            for i in range(0, n_entries, entries_per_basket):
+                w.add_basket(tree, branch,
+                             blobs[i : i + entries_per_basket])
         if pi == 0:
             w.add_gap(64)  # freed slot between branches
     w.close()

@@ -1,5 +1,6 @@
-"""NPZ → UEVT converter test."""
+"""NPZ / ROOT → UEVT converter tests."""
 import numpy as np
+import pytest
 
 from ubresnet_tpu.cli.convert import npz_to_uevt
 from ubresnet_tpu.data import EventFileReader
@@ -41,3 +42,39 @@ def test_npz_to_uevt(tmp_path, rng):
     np.testing.assert_array_equal(
         ev["wire"][0].pixels, payload["0/wire/0"]
     )
+
+
+@pytest.mark.parametrize(
+    "layout",
+    ["objectwise", "memberwise", "split", "split_memberwise"],
+)
+def test_root_to_uevt_all_layouts(tmp_path, layout):
+    """root→uevt conversion ingests all three larcv storage layouts
+    natively (no NPZ fallback): object-wise, member-wise streamed,
+    and split trees (incl. a member-wise-streamed vector leaf)."""
+    from ubresnet_tpu.data import rootio
+    from root_synth import write_larcv_like
+
+    if not rootio.native_available():
+        pytest.skip("native rootio unavailable")
+    path = str(tmp_path / "in.root")
+    truth = write_larcv_like(
+        path,
+        producers=("wire", "segment"),
+        n_entries=3,
+        planes=(0, 2),
+        memberwise="memberwise" in layout,
+        split="split" in layout,
+    )
+    out = str(tmp_path / "out.uevt")
+    n = rootio.root_to_uevt(path, out)
+    assert n == 3
+    r = EventFileReader(out)
+    for e in range(3):
+        arrs, metas, rse = truth["wire"][e]
+        assert r.rse(e) == rse
+        ev = r.read_entry(e)
+        assert set(ev) == {"wire", "segment"}
+        for img, arr, m in zip(ev["wire"], arrs, metas):
+            np.testing.assert_array_equal(img.pixels, arr)
+            assert img.meta.plane == m["plane"]

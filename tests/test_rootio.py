@@ -96,14 +96,34 @@ def test_multiframe_compression(tmp_path):
     _read_all(path, truth)
 
 
-def test_memberwise_diagnostic(tmp_path):
-    """Member-wise streamed vectors are unsupported — precise error,
-    not garbage."""
+@pytest.mark.parametrize("img_first", [True, False])
+def test_memberwise_decode(tmp_path, img_first):
+    """Member-wise streamed vector<Image2D> (kStreamedMemberWise bit
+    0x4000: members grouped, each streamed for all elements
+    consecutively) decodes identically to object-wise, in both member
+    orders."""
     path = str(tmp_path / "mw.root")
-    write_larcv_like(path, memberwise=True, n_entries=2)
-    with rootio.RootFile(path) as rf:
-        with pytest.raises(IOError, match="member-wise"):
-            rf.read_event("image2d_wire_tree", "image2d_wire_branch", 0)
+    truth = write_larcv_like(path, memberwise=True, n_entries=3,
+                             planes=(0, 1, 2), img_first=img_first)
+    _read_all(path, truth)
+
+
+@pytest.mark.parametrize("memberwise", [False, True])
+def test_split_tree_decode(tmp_path, memberwise):
+    """Split trees (per-member leaf branches `.b._run/._subrun/._event/
+    ._producer/._image_v`) reassemble through the parent branch name —
+    with the vector leaf streamed object-wise or member-wise."""
+    path = str(tmp_path / "sp.root")
+    truth = write_larcv_like(path, split=True, n_entries=4,
+                             planes=(1, 2), memberwise=memberwise)
+    _read_all(path, truth)
+
+
+def test_split_tree_u32_ids(tmp_path):
+    """Split id leaves at u32 width decode too."""
+    path = str(tmp_path / "sp32.root")
+    truth = write_larcv_like(path, split=True, n_entries=2, int_width=4)
+    _read_all(path, truth)
 
 
 def test_fixed_size_basket(tmp_path):

@@ -6,11 +6,12 @@ Preferred path — direct, no ROOT installation needed:
     python -m ubresnet_tpu.cli.convert --inspect events.root   # diagnose
 
 The native reader (ubresnet_tpu/cpp/rootio.cpp via data/rootio.py)
-walks the ROOT container format itself and decodes unsplit
-object-wise-streamed larcv EventImage2D branches. Files with
-member-wise or fully-split trees are reported with a diagnostic; for
-those, fall back to the PyROOT-side NPZ export below (one loop, on
-the reference side where larcv is already installed):
+walks the ROOT container format itself and decodes larcv EventImage2D
+branches stored object-wise, member-wise (kStreamedMemberWise), or in
+split trees (per-member leaf branches). A layout outside those is
+reported with a diagnostic; for such files, fall back to the
+PyROOT-side NPZ export below (one loop, on the reference side where
+larcv is already installed):
 
     # reference-side export (PyROOT + larcv), writes NPZ per entry set
     io = larcv.IOManager(larcv.IOManager.kREAD)

@@ -47,9 +47,13 @@
 //     before it is accepted, so dictionary-layout variants between
 //     larcv1 (LArbys/LArCV) and larcv2 (DeepLearnPhysics) decode
 //     without per-version tables. Member-wise streamed collections
-//     (kStreamedMemberWise bit 0x4000 in the version) and split
-//     branches are detected and reported with a precise diagnostic —
-//     use `cli/convert --inspect` to see what a real file contains.
+//     (kStreamedMemberWise bit 0x4000 in the version: members grouped,
+//     each streamed for all elements consecutively) decode through the
+//     same tolerant per-member parsers, and split trees (per-member
+//     leaf branches `<branch>._run/._subrun/._event/._image_v`) are
+//     reassembled when the parent branch name is requested. Layouts
+//     outside these still get a precise diagnostic — use
+//     `cli/convert --inspect` to see what a real file contains.
 //
 // Pixel order: larcv Image2D stores column-major (pixel(row,col) =
 // _img[col*rows+row]); rootio_image_pixels returns row-major (rows,
@@ -623,37 +627,72 @@ bool parse_eventbase(const Frame &fr, DecodedEvent &ev) {
   return false;
 }
 
-bool decode_event(const uint8_t *blob, size_t len, DecodedEvent &ev,
-                  std::string &err) {
-  Cursor c(blob, len);
-  Frame top = read_frame(c);
-  if (!top.ok) {
-    err = "EventImage2D frame malformed (split branch? run --inspect)";
-    return false;
-  }
-  Cursor tc(top.begin, size_t(top.end - top.begin));
-  // EventBase sub-frame
-  Frame fb = read_frame(tc);
-  if (!fb.ok) {
-    err = "EventBase frame malformed";
-    return false;
-  }
-  if (!parse_eventbase(fb, ev)) {
-    err = "EventBase layout not recognised";
-    return false;
-  }
-  tc.p = fb.end;
-  // vector<Image2D>
+// Decode a streamed vector<Image2D> frame (object-wise or
+// member-wise) at the cursor into ev.imgs. Shared by the unsplit
+// EventImage2D blob path and split-tree `_image_v` leaf blobs.
+bool decode_image_vector(Cursor &tc, DecodedEvent &ev, std::string &err) {
   Frame fv = read_frame(tc);
   if (!fv.ok) {
     err = "vector<Image2D> frame malformed";
     return false;
   }
   if (fv.memberwise) {
-    err = "vector<Image2D> is member-wise streamed (kStreamedMemberWise) "
-          "— unsupported; rewrite the file object-wise or use the NPZ "
-          "export path";
-    return false;
+    // Member-wise STL streaming (kStreamedMemberWise, TBufferFile::
+    // ReadSTLMemberWise): {u16 element-class version [-1 → u32
+    // checksum], i32 n}, then each data member streamed for all n
+    // elements consecutively. Image2D has two object members —
+    // vector<float> _img and ImageMeta _meta — each keeping its
+    // per-element frame inside its group; group order follows the
+    // class's member order, probed like the object-wise path.
+    Cursor vc(fv.begin, size_t(fv.end - fv.begin));
+    uint16_t ever = vc.u16();
+    if (ever == 0xFFFFu) vc.u32();  // version -1: class checksum follows
+    int32_t n = vc.i32();
+    if (vc.fail || n < 0 || n > 100000) {
+      err = "member-wise vector<Image2D> count malformed";
+      return false;
+    }
+    ev.imgs.clear();
+    if (n == 0) return true;
+    std::vector<Frame> g1, g2;
+    g1.resize(size_t(n));
+    g2.resize(size_t(n));
+    for (auto *g : {&g1, &g2}) {
+      for (int32_t i = 0; i < n; ++i) {
+        (*g)[size_t(i)] = read_frame(vc);
+        if (!(*g)[size_t(i)].ok) {
+          err = "member-wise group frame " + std::to_string(i) +
+                " malformed";
+          return false;
+        }
+        vc.p = (*g)[size_t(i)].end;
+      }
+    }
+    const uint8_t *probe = nullptr;
+    bool g1_is_img = try_vector_float(g1[0], probe) >= 0;
+    std::vector<Frame> &imgs_g = g1_is_img ? g1 : g2;
+    std::vector<Frame> &meta_g = g1_is_img ? g2 : g1;
+    ev.imgs.reserve(size_t(n));
+    for (int32_t i = 0; i < n; ++i) {
+      DecodedImage im;
+      const uint8_t *floats = nullptr;
+      int64_t npx = try_vector_float(imgs_g[size_t(i)], floats);
+      if (npx < 0) {
+        err = "member-wise image " + std::to_string(i) +
+              ": vector<float> member not recognised";
+        return false;
+      }
+      if (!try_meta(meta_g[size_t(i)], npx, im)) {
+        err = "member-wise image " + std::to_string(i) +
+              ": ImageMeta layout not recognised";
+        return false;
+      }
+      im.px.resize(size_t(npx));
+      Cursor fc(floats, size_t(npx) * 4);
+      for (int64_t j = 0; j < npx; ++j) im.px[size_t(j)] = fc.f32();
+      ev.imgs.push_back(std::move(im));
+    }
+    return true;
   }
   Cursor vc(fv.begin, size_t(fv.end - fv.begin));
   int32_t n = vc.i32();
@@ -674,6 +713,67 @@ bool decode_event(const uint8_t *blob, size_t len, DecodedEvent &ev,
   return true;
 }
 
+bool decode_event(const uint8_t *blob, size_t len, DecodedEvent &ev,
+                  std::string &err) {
+  Cursor c(blob, len);
+  Frame top = read_frame(c);
+  if (!top.ok) {
+    err = "EventImage2D frame malformed (split branch? run --inspect)";
+    return false;
+  }
+  Cursor tc(top.begin, size_t(top.end - top.begin));
+  // EventBase sub-frame
+  Frame fb = read_frame(tc);
+  if (!fb.ok) {
+    err = "EventBase frame malformed";
+    return false;
+  }
+  if (!parse_eventbase(fb, ev)) {
+    err = "EventBase layout not recognised";
+    return false;
+  }
+  tc.p = fb.end;
+  return decode_image_vector(tc, ev, err);
+}
+
+// Split-tree reassembly: a split larcv branch stores each EventBase
+// member in its own leaf branch (`<branch>._run`, `._subrun`,
+// `._event` as raw fixed-size big-endian ints; `._producer` as a
+// TString, unused here — the producer is implied by the branch name)
+// and the image vector in `<branch>._image_v` (a streamed
+// vector<Image2D> frame per entry). Caller holds f.mu.
+bool get_event_split(RFile &f, const char *tree, const char *branch,
+                     int64_t entry, DecodedEvent &ev, std::string &err) {
+  std::string bn(branch ? branch : "");
+  auto iv = f.branches.find({tree ? tree : "", bn + "._image_v"});
+  if (iv == f.branches.end()) return false;  // not a split branch
+  const uint8_t *blob;
+  size_t bloblen;
+  if (!entry_blob(f, iv->second, entry, blob, bloblen, err)) return false;
+  Cursor tc(blob, bloblen);
+  if (!decode_image_vector(tc, ev, err)) return false;
+  uint64_t *ids[3] = {&ev.run, &ev.subrun, &ev.event};
+  const char *leaves[3] = {"._run", "._subrun", "._event"};
+  for (int i = 0; i < 3; ++i) {
+    auto it = f.branches.find({tree ? tree : "", bn + leaves[i]});
+    if (it == f.branches.end()) continue;  // ids optional
+    const uint8_t *ib;
+    size_t ilen;
+    if (!entry_blob(f, it->second, entry, ib, ilen, err)) return false;
+    Cursor ic(ib, ilen);
+    if (ilen == 8)
+      *ids[i] = ic.u64();
+    else if (ilen == 4)
+      *ids[i] = ic.u32();
+    else {
+      err = std::string("split id leaf ") + leaves[i] +
+            " has unexpected width " + std::to_string(ilen);
+      return false;
+    }
+  }
+  return true;
+}
+
 // Caller holds f.mu.
 bool get_event(RFile &f, const char *tree, const char *branch, int64_t entry,
                std::string &err) {
@@ -686,7 +786,18 @@ bool get_event(RFile &f, const char *tree, const char *branch, int64_t entry,
   f.cached_event_id = eid;
   f.cached_event_ok = false;
   const Branch *br = find_branch(f, tree, branch, err);
-  if (!br) return false;
+  if (!br) {
+    // not stored whole — try split-tree leaf reassembly
+    std::string serr;
+    f.cached_event = DecodedEvent();
+    if (get_event_split(f, tree, branch, entry, f.cached_event, serr)) {
+      f.cached_event_ok = true;
+      return true;
+    }
+    if (!serr.empty()) err = "split branch: " + serr;
+    f.error = err;
+    return false;
+  }
   const uint8_t *blob;
   size_t bloblen;
   if (!entry_blob(f, *br, entry, blob, bloblen, err)) return false;

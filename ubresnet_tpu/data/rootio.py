@@ -5,14 +5,15 @@ over image2d trees, /root/reference/deploy/run_ubresnet_precropped.py:83-95)
 for *migration*: `cli/convert` can take a larcv .root file straight to
 UEVT with no ROOT installation. The C++ layer
 (ubresnet_tpu/cpp/rootio.cpp) walks the ROOT container format (TKey
-scan, zlib/zstd baskets, per-entry offsets) and decodes unsplit
-object-wise-streamed larcv EventImage2D payloads, tolerating both
-larcv generations' dictionary layouts.
+scan, zlib/zstd baskets, per-entry offsets) and decodes larcv
+EventImage2D payloads in all three storage layouts — object-wise
+streamed, member-wise streamed (kStreamedMemberWise), and split trees
+(per-member leaf branches reassembled through the parent branch
+name) — tolerating both larcv generations' dictionary layouts.
 
-Limits (reported with precise diagnostics, see `inspect_file`):
-member-wise streamed collections and fully split branches are not
-decodable without ROOT dictionaries — re-write such files unsplit, or
-use the NPZ export path in cli/convert's docstring.
+Unrecognised layouts still get precise diagnostics (see
+`inspect_file`); the PyROOT-side NPZ export in cli/convert's
+docstring remains the escape hatch of last resort.
 """
 from __future__ import annotations
 
@@ -362,11 +363,22 @@ def uevt_to_root(uevt_path: str, out_path: str,
 
 def image2d_trees(rf: RootFile) -> Dict[str, Tuple[str, str, int]]:
     """Map larcv producer → (tree, branch, n_entries) for image2d
-    trees, by the larcv naming convention image2d_{producer}_tree."""
+    trees, by the larcv naming convention image2d_{producer}_tree.
+
+    Split trees store leaf branches (`<branch>._image_v` etc.); those
+    map back to the parent branch name, which the native reader
+    reassembles."""
     out = {}
     for (tree, branch), info in sorted(rf.branches().items()):
-        if tree.startswith("image2d_") and tree.endswith("_tree"):
-            producer = tree[len("image2d_"):-len("_tree")]
+        if not (tree.startswith("image2d_") and tree.endswith("_tree")):
+            continue
+        producer = tree[len("image2d_"):-len("_tree")]
+        if "." in branch:  # split leaf → parent branch
+            parent, leaf = branch.rsplit(".", 1)
+            if leaf != "_image_v":
+                continue  # id/producer leaves don't define the entry count
+            out.setdefault(producer, (tree, parent, info["entries"]))
+        else:
             out[producer] = (tree, branch, info["entries"])
     return out
 
