@@ -201,7 +201,8 @@ def test_full_model_fused_eval_matches_xla(rng):
 
 
 @pytest.mark.parametrize("k,ci,co,p", [(3, 16, 16, 8), (3, 32, 16, 4),
-                                       (7, 16, 16, 8), (1, 32, 32, 4)])
+                                       (7, 16, 16, 8), (1, 32, 32, 4),
+                                       (7, 16, 3, 8)])
 def test_conv_ad_grads_match_xla(rng, k, ci, co, p):
     """pallas_conv_ad fwd + custom-VJP grads == XLA packed conv's."""
     from ubresnet_tpu.ops.pallas_conv import conv_ad_supported, pallas_conv_ad
@@ -265,7 +266,8 @@ def test_fused_train_model_grads_match_xla(rng):
 
 
 @pytest.mark.parametrize("k,ci,co,p", [(3, 16, 16, 8), (3, 32, 16, 4),
-                                       (7, 16, 16, 8), (1, 32, 32, 4)])
+                                       (7, 16, 16, 8), (1, 32, 32, 4),
+                                       (7, 16, 3, 8)])
 def test_conv_dw_matches_xla(rng, k, ci, co, p):
     """pallas_conv_dw (all-Pallas grad-weights accumulator) == XLA's
     grad of the packed conv w.r.t. the unpacked kernel."""

@@ -1522,6 +1522,17 @@ def pallas_conv_dw(
     pco = dy.shape[-1]
     ci = pci // p
     co = pco // p
+    if pco % COMBO:
+        # Mosaic HBM slices must be lane-tile (128) aligned: a pco<128
+        # dy (the num_classes=3 classifier head) is channel-padded to
+        # the lane-filling co, and the padded dW columns sliced off.
+        co2 = COMBO // p
+        dy2 = jnp.pad(
+            dy.reshape(bsz, h, wc, p, co),
+            ((0, 0),) * 4 + ((0, co2 - co),),
+        ).reshape(bsz, h, wc, p * co2)
+        dw = pallas_conv_dw(x, dy2, p=p, kw=kw, th=th, interpret=interpret)
+        return dw[..., :co]
     kh = kw
     hwci = (kw // 2) * ci
     assert 2 * hwci <= COMBO and pci >= COMBO
