@@ -51,7 +51,8 @@ def load_model_and_variables(args):
 def build_parser():
     ap = argparse.ArgumentParser(description="Score precropped event images")
     ap.add_argument("-i", "--input", required=True, help="input UEVT file")
-    ap.add_argument("-o", "--output", required=True, help="output UEVT file")
+    ap.add_argument("-o", "--output", required=True,
+                    help="output file (.uevt, or .root for larcv write-back)")
     ap.add_argument("-c", "--checkpoint", required=True,
                     help="reference .tar or orbax checkpoint dir")
     ap.add_argument("-p", "--plane", type=int, default=2, help="wire plane id")
@@ -63,6 +64,11 @@ def build_parser():
     ap.add_argument("--arch", default="uresnet", choices=["uresnet", "aspp_resnet"])
     ap.add_argument("--best", action="store_true", help="load best checkpoint")
     ap.add_argument("--f32", action="store_true", help="full-f32 (parity) mode")
+    ap.add_argument(
+        "--compact-readback", action="store_true",
+        help="ship f16 / K-1 class scores off-device (3x fewer D2H "
+        "bytes, ~5e-4 quantisation on written scores)",
+    )
     return ap
 
 
@@ -74,7 +80,12 @@ def main(argv=None):
     from ubresnet_tpu.deploy import PrecroppedRunner
 
     model, variables = load_model_and_variables(args)
-    runner = PrecroppedRunner(model, variables, batch_size=args.batchsize)
+    runner = PrecroppedRunner(
+        model,
+        variables,
+        batch_size=args.batchsize,
+        compact_readback=args.compact_readback,
+    )
     timing = runner.run(
         args.input,
         args.output,

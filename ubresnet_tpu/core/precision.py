@@ -43,15 +43,15 @@ class Policy:
     # non-TPU backends the kernels run in interpret mode, so default
     # it on only when the backend is TPU.
     fused_eval: bool = False
-    # Differentiable Pallas conv (ops/pallas_conv.py:pallas_conv_ad)
-    # for the packed stride-1 convs in TRAINING: halo-matmul forward
-    # and dx (custom VJP), dW via XLA's packed grad-weights. Measured
-    # and REJECTED as a default: each leg wins in isolation (dx 2.2 vs
-    # 2.9 ms/layer) but the train graph can't be Pallas-complete
-    # (stride-2 convs, deconvs, BN batch stats, dW stay XLA), and the
-    # XLA<->Pallas boundary copies cost more than the kernels save —
-    # full step 139 ms (102 XLA); even Pallas-forward-only is 123 ms.
-    # Kept as opt-in infrastructure for a future complete train zone.
+    # Differentiable Pallas kernels (pallas_conv_ad, pallas_deconv2x_ad,
+    # pallas_conv_dw) for the packed TRAIN path. Measured and REJECTED
+    # as a default twice: round 2 (conv-ad only) 139 ms vs 102 XLA at
+    # b16; round 3 (complete AD family incl. deconv-ad + all-Pallas
+    # dW) 218 ms vs 108 — the deconv2x backward is mis-tiled (6x vs
+    # XLA) and BN batch-stat reductions still force XLA<->Pallas
+    # layout copies around every kernel. Grad-verified and kept as
+    # opt-in infrastructure; the winning design needs stats-aware
+    # whole-block train kernels (docs/roofline.md round-3 notes).
     fused_train: bool = False
 
     @staticmethod

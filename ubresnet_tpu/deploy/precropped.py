@@ -34,6 +34,7 @@ class PrecroppedRunner:
         adc_threshold: Optional[float] = None,
         sparse: bool = True,
         sparse_bucket: int = 4096,
+        compact_readback: bool = False,
     ):
         self.model = model
         self.variables = variables
@@ -41,12 +42,23 @@ class PrecroppedRunner:
         self.adc_threshold = adc_threshold
         self.sparse = sparse
         self.sparse_bucket = sparse_bucket
+        self.compact = compact_readback
         self._cap = 0
-        self._fwd = jax.jit(lambda v, x: jnp.exp(model.apply(v, x)))
+
+        def _post(probs):
+            # compact D2H form: drop the last class (host reconstructs
+            # it as 1-sum — softmax rows sum to 1) and ship f16. 3x
+            # fewer readback bytes for ~5e-4 quantisation on the
+            # written scores.
+            if compact_readback:
+                return probs[..., :-1].astype(jnp.float16)
+            return probs
+
+        self._fwd = jax.jit(lambda v, x: _post(jnp.exp(model.apply(v, x))))
         if sparse:
             from ubresnet_tpu.ops.sparse import sparse_forward_fn
 
-            self._fwd_sparse = sparse_forward_fn(model)
+            self._fwd_sparse = sparse_forward_fn(model, post=_post)
 
     def _dispatch(self, batch: np.ndarray) -> jax.Array:
         """(b, h, w, 1) host batch → device (b, h, w, c) probabilities,
@@ -77,8 +89,29 @@ class PrecroppedRunner:
             batch.shape[1:3],
         )
 
+    def _fetch(self, dev: jax.Array) -> np.ndarray:
+        """Device scores → host (b, h, w, c) float32 probabilities.
+
+        Reads back in ~8 MB batch-slices (measured: chunked D2H
+        sustains ~3x the single-transfer rate through the axon tunnel)
+        and, in compact mode, reconstructs the dropped last class as
+        1 - sum(others).
+        """
+        per_crop = int(np.prod(dev.shape[1:])) * dev.dtype.itemsize
+        step = max(1, (8 << 20) // max(per_crop, 1))
+        parts = [
+            np.asarray(jax.device_get(dev[i : i + step]))
+            for i in range(0, dev.shape[0], step)
+        ]
+        out = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        if self.compact:
+            out = out.astype(np.float32)
+            rest = np.clip(1.0 - out.sum(axis=-1, keepdims=True), 0.0, 1.0)
+            out = np.concatenate([out, rest], axis=-1)
+        return out
+
     def _forward(self, batch: np.ndarray) -> np.ndarray:
-        return np.asarray(jax.device_get(self._dispatch(batch)))
+        return self._fetch(self._dispatch(batch))
 
     def run(
         self,
@@ -135,7 +168,7 @@ class PrecroppedRunner:
         def drain(pending):
             images, dev = pending
             t0 = time.time()
-            scores = np.asarray(jax.device_get(dev))[: len(images)]
+            scores = self._fetch(dev)[: len(images)]
             timing["forward"] += time.time() - t0
             t0 = time.time()
             for img, score in zip(images, scores):

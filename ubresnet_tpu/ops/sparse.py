@@ -138,13 +138,16 @@ def densify_batch(sp: dict, hw: Tuple[int, int]) -> dict:
     return {"image": image, "label": lab, "weight": wgt}
 
 
-def sparse_forward_fn(model):
+def sparse_forward_fn(model, post=None):
     """Jitted (variables, indices, values) → probabilities, with the
-    densify fused into the same XLA program as the network."""
+    densify fused into the same XLA program as the network. ``post``
+    optionally transforms the probabilities inside the same program
+    (e.g. the deploy compact-readback cast)."""
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def fwd(variables, indices, values, hw):
         x = densify(indices, values, hw)
-        return jnp.exp(model.apply(variables, x))
+        probs = jnp.exp(model.apply(variables, x))
+        return post(probs) if post is not None else probs
 
     return fwd
