@@ -61,6 +61,16 @@ def _p_eff(p: int, ci: int, wc_p: int) -> int:
     return p
 
 
+def _train_conv_ok(pe: int, kernel: int, ci: int, co: int) -> bool:
+    """Gate for the stats-decoupled Pallas train path (lazy import so
+    blocks.py stays importable without the pallas module)."""
+    if kernel % 2 == 0:
+        return False
+    from ubresnet_tpu.ops.pallas_train import train_conv_supported
+
+    return train_conv_supported(pe, kernel, ci, co)
+
+
 def fold_bn(scale, bias, mean, var, cbias=None, eps: float = BN_EPS):
     """Fold eval-mode BN (+ optional conv bias) into one affine:
     y = conv(x)*g + beta. The single definition of the fused paths'
@@ -173,7 +183,13 @@ class PackedBN(nn.Module):
     policy: Policy = Policy()
 
     @nn.compact
-    def __call__(self, x, *, train: bool, params_only: bool = False):
+    def __call__(self, x, *, train: bool, params_only: bool = False,
+                 stats=None):
+        """``stats``: optional (sum, sumsq, count) per REAL channel —
+        batch moments precomputed by a fused conv kernel
+        (ops/pallas_train.py), so no XLA reduction over ``x`` runs
+        here. Train-mode only; numerics identical to the in-line
+        computation (same E[x²]−E[x]² form, f32)."""
         from ubresnet_tpu.ops.packed import tile_channel_vector
 
         p = self.pack
@@ -193,11 +209,18 @@ class PackedBN(nn.Module):
         if params_only:  # fused eval path folds the affine itself
             return scale, bias, ra_mean.value, ra_var.value
         if train:
-            xf = x.astype(jnp.float32)
-            b, h, wc, _ = xf.shape
-            x5 = xf.reshape(b, h, wc, p, c)
-            mean = jnp.mean(x5, axis=(0, 1, 2, 3))
-            var = jnp.mean(jnp.square(x5), axis=(0, 1, 2, 3)) - jnp.square(mean)
+            if stats is not None:
+                s1, s2, n = stats
+                mean = s1.astype(jnp.float32) / n
+                var = s2.astype(jnp.float32) / n - jnp.square(mean)
+            else:
+                xf = x.astype(jnp.float32)
+                b, h, wc, _ = xf.shape
+                x5 = xf.reshape(b, h, wc, p, c)
+                mean = jnp.mean(x5, axis=(0, 1, 2, 3))
+                var = jnp.mean(jnp.square(x5), axis=(0, 1, 2, 3)) - jnp.square(
+                    mean
+                )
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
@@ -261,6 +284,47 @@ class ConvBN(nn.Module):
                 )
                 return kernel, cbias, scale, bbias, mean, var
             pe = _p_eff(p, ci, x.shape[2] * p)
+            use_fused_train = (
+                self.policy.fused_train
+                and train
+                and not self.is_initializing()
+                and self.stride == 1
+                and _train_conv_ok(pe, self.kernel, ci, self.features)
+            )
+            if use_fused_train:
+                # Stats-decoupled Pallas train path: the conv kernel
+                # emits Σy/Σy² alongside y (ops/pallas_train.py), BN
+                # normalises from those vectors, and the remaining
+                # tail (affine, ReLU, residual join) is elementwise
+                # XLA — no XLA conv or reduction touches the packed
+                # zone's activations in forward or backward.
+                from ubresnet_tpu.ops.pallas_train import train_conv_stats
+
+                kernel, cbias = conv(x, params_only=True)
+                y, s1, s2 = train_conv_stats(
+                    _repack(x.astype(cdt), p, pe),
+                    kernel.astype(cdt),
+                    cbias.astype(jnp.float32) if cbias is not None else None,
+                    pe,
+                    jax.default_backend() != "tpu",
+                )
+                y = _repack(y, pe, p)
+                co = self.features
+                n = y.shape[0] * y.shape[1] * y.shape[2] * p
+                y = bn(
+                    y,
+                    train=True,
+                    stats=(
+                        s1.reshape(pe, co).sum(0),
+                        s2.reshape(pe, co).sum(0),
+                        n,
+                    ),
+                )
+                if self.act:
+                    y = nn.relu(y)
+                if residual is not None:
+                    y = nn.relu(y + residual)
+                return y
             use_fused = (
                 self.policy.fused_eval
                 and not train
