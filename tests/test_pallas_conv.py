@@ -229,12 +229,16 @@ def test_conv_ad_grads_match_xla(rng, k, ci, co, p):
                                rtol=1e-4, atol=1e-3)
 
 
-def test_fused_train_model_grads_match_xla(rng):
+@pytest.mark.parametrize("deconv_ad", [False, True])
+def test_fused_train_model_grads_match_xla(rng, deconv_ad):
     """Whole UResNet with fused_train: loss + grads match the XLA
-    packed path (identical params; f32, interpret mode on CPU)."""
+    packed path (identical params; f32, interpret mode on CPU).
+    Covers both deconv modes: XLA packed deconv (shipping config) and
+    pallas_deconv2x_ad (gated off by default — mis-tiled backward)."""
     from ubresnet_tpu.models import get_model
 
-    polT = dataclasses.replace(Policy.f32(), pack_width=8, fused_train=True)
+    polT = dataclasses.replace(Policy.f32(), pack_width=8, fused_train=True,
+                               fused_train_deconv=deconv_ad)
     polU = dataclasses.replace(polT, fused_train=False)
     x = jnp.asarray(rng.rand(1, 64, 64, 1), jnp.float32)
     mT = get_model("uresnet", policy=polT, input_channels=1, inplanes=16)

@@ -43,16 +43,23 @@ class Policy:
     # non-TPU backends the kernels run in interpret mode, so default
     # it on only when the backend is TPU.
     fused_eval: bool = False
-    # Differentiable Pallas kernels (pallas_conv_ad, pallas_deconv2x_ad,
-    # pallas_conv_dw) for the packed TRAIN path. Measured and REJECTED
-    # as a default twice: round 2 (conv-ad only) 139 ms vs 102 XLA at
-    # b16; round 3 (complete AD family incl. deconv-ad + all-Pallas
-    # dW) 218 ms vs 108 — the deconv2x backward is mis-tiled (6x vs
-    # XLA) and BN batch-stat reductions still force XLA<->Pallas
-    # layout copies around every kernel. Grad-verified and kept as
-    # opt-in infrastructure; the winning design needs stats-aware
-    # whole-block train kernels (docs/roofline.md round-3 notes).
+    # Differentiable Pallas kernels for the packed TRAIN path. Round-3
+    # design: ConvBN routes stride-1 convs through the stats-decoupled
+    # train_conv_stats (ops/pallas_train.py — conv + BN batch moments
+    # emitted by ONE kernel, custom VJP over Pallas dx/dW), so neither
+    # forward nor backward has XLA convolutions or BN-stat reductions
+    # inside the packed zone; the remaining XLA between kernels is
+    # elementwise-only (layout-agnostic). Earlier per-leg attempts
+    # (round 2: conv-ad only, 139 ms vs 102 XLA at b16; round 3a:
+    # complete AD family, 218 ms vs 108) lost to boundary copies —
+    # see docs/roofline.md before touching this.
     fused_train: bool = False
+    # Deconv2x via pallas_deconv2x_ad when training. Kept SEPARATE
+    # from fused_train: the deconv backward (s2k4-dx + deconv-dW) is
+    # a measured 6x regression at decoder shapes (257.6 vs 42.5 ms,
+    # docs/roofline.md round-3 table) — enabling it erases the
+    # stats-path win. Grad-verified; off until re-tiled.
+    fused_train_deconv: bool = False
 
     @staticmethod
     def tpu() -> "Policy":

@@ -613,7 +613,7 @@ class Deconv2x(nn.Module):
                     )
                     return _repack(y, pe, p)
                 if (
-                    self.policy.fused_train
+                    self.policy.fused_train_deconv
                     and train
                     and deconv_ad_supported(pe, cin, self.features)
                 ):
