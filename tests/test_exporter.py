@@ -71,6 +71,28 @@ def test_exported_state_dict_runs_in_reference_semantics(rng):
     assert agree >= 0.999, agree
 
 
+def test_aspp_export_roundtrip(rng):
+    """ASPP: reference sd → import → export reproduces every key and
+    value (num_batches_tracked is synthesised, excluded)."""
+    from test_aspp_importer import make_aspp_state_dict
+
+    from ubresnet_tpu.deploy.exporters import export_aspp_state_dict
+    from ubresnet_tpu.deploy.importers import import_aspp_state_dict
+
+    sd = make_aspp_state_dict(rng, inplanes=4)
+    v = import_aspp_state_dict(sd)
+    back = export_aspp_state_dict(v)
+    want = {k for k in sd if "num_batches_tracked" not in k}
+    got = {k for k in back if "num_batches_tracked" not in k}
+    assert want == got, (sorted(want - got)[:5], sorted(got - want)[:5])
+    for k in want:
+        np.testing.assert_array_equal(
+            back[k].numpy(),
+            sd[k].numpy() if hasattr(sd[k], "numpy") else np.asarray(sd[k]),
+            err_msg=k,
+        )
+
+
 def test_reference_tar_envelope_roundtrip(tmp_path):
     """save_reference_checkpoint → torch.load envelope fields →
     import_torch_checkpoint, incl. the DataParallel module. prefix

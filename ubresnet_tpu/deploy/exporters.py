@@ -86,6 +86,31 @@ def export_uresnet_state_dict(variables: Dict,
     return out
 
 
+def export_aspp_state_dict(variables: Dict,
+                           data_parallel: bool = False) -> Dict:
+    """Flax ASPP_ResNet variables → reference state_dict
+    (ASPP_ResNet.py naming; inverse of import_aspp_state_dict)."""
+    p, s = variables["params"], variables["batch_stats"]
+    out: Dict = {}
+    _convbn(out, "conv1", "bn1", p["stem"], s["stem"])
+    for i in range(1, 6):
+        _double_resnet(out, f"enc_layer{i}", p[f"enc{i}"], s[f"enc{i}"])
+        _decoder(out, f"dec_layer{i}", p[f"dec{i}"], s[f"dec{i}"])
+    for i in (3, 4, 5):
+        for b in (1, 2, 3, 4):
+            _convbn(out, f"ASPP_layer_enc{i}.B{b}_conv",
+                    f"ASPP_layer_enc{i}.B{b}_bn",
+                    p[f"aspp{i}"][f"b{b}"], s[f"aspp{i}"][f"b{b}"])
+        _convbn(out, f"ASPP_combine_enc{i}.ASPP_conv",
+                f"ASPP_combine_enc{i}.ASPP_bn",
+                p[f"aspp{i}_post"]["post"], s[f"aspp{i}_post"]["post"])
+    _convbn(out, "conv10", "bn10", p["head"], s["head"])
+    _conv(out, "conv11", p["classifier"])
+    if data_parallel:
+        out = {f"module.{k}": v for k, v in out.items()}
+    return out
+
+
 def save_reference_checkpoint(
     variables: Dict,
     path: str,
@@ -95,18 +120,20 @@ def save_reference_checkpoint(
     best_prec1: float = 0.0,
     data_parallel: bool = False,
     optimizer: Optional[Dict] = None,
+    arch: str = "uresnet",
 ) -> str:
     """Write a reference-format `.tar` checkpoint
     (train_ubresnet2018_wlarcv2.py:474-479 envelope) loadable by
-    torch.load + load_cosmic_retrain_model."""
+    torch.load + load_cosmic_retrain_model. ``arch``: "uresnet" or
+    "aspp"."""
     import torch
 
+    export = (export_uresnet_state_dict if arch == "uresnet"
+              else export_aspp_state_dict)
     state = {
         "iter": iteration,
         "epoch": epoch,
-        "state_dict": export_uresnet_state_dict(
-            variables, data_parallel=data_parallel
-        ),
+        "state_dict": export(variables, data_parallel=data_parallel),
         "best_prec1": best_prec1,
         "optimizer": optimizer if optimizer is not None else {},
     }
