@@ -301,7 +301,10 @@ def test_conv_dw_matches_xla(rng, k, ci, co, p):
 
 
 @pytest.mark.parametrize("p,ci,co,H,W", [(4, 32, 32, 8, 64),
-                                         (8, 16, 16, 16, 128)])
+                                         (8, 16, 16, 16, 128),
+                                         # nh>=3: middle-tile parity-
+                                         # plane DMA branch
+                                         (8, 16, 16, 48, 128)])
 def test_conv_s2k4_matches_xla(rng, p, ci, co, H, W):
     """fused_conv_s2k4 == stride-2 k4 pad-1 cross-correlation (the
     deconv2x input-gradient) computed by XLA on unpacked tensors."""

@@ -874,15 +874,42 @@ def fused_packed_deconv2x(
 # input col w_i = p*m + oi maps to output cols 2*w_i + k - 1, all inside
 # output cell m (of 2p columns) except k=0 at oi=0 (previous cell's last
 # column) and k=3 at oi=p-1 (next cell's first) — one COMBO halo block.
-# Row taps pair input row r with output rows 2r-1..2r+2, streamed as a
-# (2*th+2)-row window and selected per-tap with stride-2 sublane views.
+# Row taps pair input row r with output rows 2r-1..2r+2, streamed as
+# two parity planes (_split_planes/_s2_planes) so each tap is a
+# contiguous (th*wc)-row slice — per-tap strided sublane selection was
+# the measured 6x VPU bottleneck of the first implementation.
 
 
-def _s2_stream(y_hbm, ys, sems, *, nh, th, wc, sem_idx=None):
-    """Double-buffered streaming of the stride-2-side rows: for a tile
-    of th stride-1 rows starting at r0 = hj*th, loads the 2*th+2
-    stride-2-side rows [2*r0-1, 2*r0+2*th] into the slot, zeroing the
-    out-of-image first/last row at the image edges."""
+def _split_planes(y: jax.Array, bsz: int, h2: int, wc: int) -> jax.Array:
+    """(b, h2*wc, c) flat stride-2-side rows → (b, 2, h*wc, c): plane 0
+    the even image rows (0, 2, …), plane 1 the odd (1, 3, …). One XLA
+    transpose; lets the kernels DMA contiguous per-parity row windows
+    instead of doing per-tap strided sublane selection in VMEM (the
+    round-3-measured 6x VPU bottleneck of the old _rowsel2 form)."""
+    c = y.shape[-1]
+    h = h2 // 2
+    return (
+        y.reshape(bsz, h, 2, wc, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(bsz, 2, h * wc, c)
+    )
+
+
+def _s2_planes(y2_hbm, ys, sems, *, nh, th, wc, sem_base=0):
+    """Double-buffered streaming of the stride-2-side rows in parity
+    planes. For an output tile of th rows starting at r0 = hj*th:
+
+      even plane local i ↔ image row 2*(r0+i), i ∈ [0, th]
+      odd  plane local i ↔ image row 2*(r0+i)−1
+
+    so every row tap of the s2 kernels is a CONTIGUOUS slice:
+      kr=0 → odd[0:m], kr=1 → even[0:m],
+      kr=2 → odd[wc:wc+m], kr=3 → even[wc:wc+m]   (m = th*wc).
+
+    ys: (2, 2, (th+1)*wc, c) scratch indexed [slot, plane]; sems:
+    DMA semaphores indexed [slot, sem_base + plane]. Out-of-image rows
+    (odd local 0 at the top edge, even local th at the bottom) are
+    zeroed after the wait."""
     idx = pl.program_id(0)
     nprog = pl.num_programs(0)
 
@@ -890,35 +917,41 @@ def _s2_stream(y_hbm, ys, sems, *, nh, th, wc, sem_idx=None):
         bj = j // nh
         hj = j % nh
 
-        def fill(src_row, dst_row, nrows):
+        def fill(plane, src_row, dst_row, nrows):
             off = src_row * wc
-            if (th * wc) % 4 == 0 and wc % 8 == 0:
-                # offsets are 2*hj*(th*wc) - {0, wc}: assert the 8-row
+            if (th * wc) % 8 == 0 and wc % 8 == 0:
+                # offsets are hj*(th*wc) - {0, wc}: assert the 8-row
                 # divisibility Mosaic's prover can't always derive
                 off = pl.multiple_of(off, 8)
-            sem = sems.at[slot] if sem_idx is None else sems.at[slot, sem_idx]
             dma = pltpu.make_async_copy(
-                y_hbm.at[bj, pl.ds(off, nrows * wc)],
-                ys.at[slot, pl.ds(dst_row * wc, nrows * wc)],
-                sem,
+                y2_hbm.at[bj, plane, pl.ds(off, nrows * wc)],
+                ys.at[slot, plane, pl.ds(dst_row * wc, nrows * wc)],
+                sems.at[slot, sem_base + plane],
             )
             dma.start() if op == "start" else dma.wait()
 
         if nh == 1:
-            fill(0, 1, 2 * th)
-        else:
+            # static single-tile case: both branches of a pl.when are
+            # traced, so (th+1)-row reads must not appear at all here
+            fill(0, 0, 0, th)
+            fill(1, 0, 1, th)
+            return
 
-            @pl.when(hj == 0)
-            def _():
-                fill(0, 1, 2 * th + 1)
+        @pl.when(hj < nh - 1)
+        def _():
+            fill(0, hj * th, 0, th + 1)
 
-            @pl.when(jnp.logical_and(hj > 0, hj < nh - 1))
-            def _():
-                fill(2 * hj * th - 1, 0, 2 * th + 2)
+        @pl.when(hj == nh - 1)
+        def _():
+            fill(0, hj * th, 0, th)
 
-            @pl.when(hj == nh - 1)
-            def _():
-                fill(2 * hj * th - 1, 0, 2 * th + 1)
+        @pl.when(hj > 0)
+        def _():
+            fill(1, hj * th - 1, 0, th + 1)
+
+        @pl.when(hj == 0)
+        def _():
+            fill(1, 0, 1, th)
 
     slot = jax.lax.rem(idx, 2)
 
@@ -933,27 +966,24 @@ def _s2_stream(y_hbm, ys, sems, *, nh, th, wc, sem_idx=None):
     _dma(idx, slot, "wait")
     hj = idx % nh
 
-    def zero_rows(row0):
-        ys[slot, pl.ds(row0, wc)] = jnp.zeros((wc, ys.shape[2]), ys.dtype)
+    def zero_rows(plane, row0):
+        ys[slot, plane, pl.ds(row0, wc)] = jnp.zeros(
+            (wc, ys.shape[3]), ys.dtype
+        )
 
     @pl.when(hj == 0)
     def _():
-        zero_rows(0)
+        zero_rows(1, 0)
 
     @pl.when(hj == nh - 1)
     def _():
-        zero_rows((2 * th + 1) * wc)
+        zero_rows(0, th * wc)
 
     return slot
 
 
-def _rowsel2(y_all, kr: int, th: int, wc: int):
-    """From the (2*th+2)-row stride-2-side window (flat rows), the wc
-    cells of rows 2j + kr for j in [0, th): local row of stride-2-side
-    row (2j + kr - 1) is 2j + kr (window starts one row early)."""
-    c = y_all.shape[-1]
-    v = y_all[kr * wc : kr * wc + 2 * th * wc]
-    return v.reshape(th, 2 * wc, c)[:, :wc].reshape(th * wc, c)
+# tap kr of the s2 kernels → (parity plane, local row offset in cells)
+_S2_TAPS = {0: (1, 0), 1: (0, 0), 2: (1, 1), 3: (0, 1)}
 
 
 def s2k4_weights(w: jax.Array, p: int):
@@ -987,18 +1017,21 @@ def _s2k4_kernel(
     wc: int, nh: int,
 ):
     m = th * wc
-    slot = _s2_stream(y_hbm, ys, sems, nh=nh, th=th, wc=wc)
-    yall = ys[slot]
+    slot = _s2_planes(y_hbm, ys, sems, nh=nh, th=th, wc=wc)
+    planes = (ys[slot, 0], ys[slot, 1])
+    combos = (_combo(planes[0], cin, wc), _combo(planes[1], cin, wc))
     pco = out_ref.shape[-1]
     acc = jnp.zeros((m, pco), jnp.float32)
     for kr in range(4):
-        yk = _rowsel2(yall, kr, th, wc)
-        ck = _combo(yk, cin, wc)
+        par, roff = _S2_TAPS[kr]
+        off = roff * wc
         acc = acc + jnp.dot(
-            yk, wm_ref[kr], preferred_element_type=jnp.float32
+            planes[par][off : off + m], wm_ref[kr],
+            preferred_element_type=jnp.float32,
         )
         acc = acc + jnp.dot(
-            ck, wh_ref[kr], preferred_element_type=jnp.float32
+            combos[par][off : off + m], wh_ref[kr],
+            preferred_element_type=jnp.float32,
         )
     out_ref[0] = acc.astype(out_ref.dtype)
 
@@ -1025,8 +1058,8 @@ def fused_conv_s2k4(
     pco = p * cout
     nb = y.dtype.itemsize
     th = _fit_th(h, th, lambda t: wc * (
-        2 * (2 * t + 2) * pci2 * nb           # ys double buffer
-        + 4 * t * (pci2 + COMBO) * 4          # rowsel + combo f32 temps
+        4 * (t + 1) * pci2 * nb               # parity-plane double buffer
+        + 2 * (t + 1) * (pci2 + 2 * COMBO) * 4  # per-plane combo temps
         + t * pco * (4 + nb)                  # acc + out block
     ))
     wm, wh = s2k4_weights(w, p)
@@ -1050,11 +1083,8 @@ def fused_conv_s2k4(
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, h * wc, pco), y.dtype),
         scratch_shapes=[
-            # +2 tail rows: the per-tap contiguous row slice for
-            # kr in {2,3} extends past the 2*th+2 streamed rows (the
-            # excess rows are never selected, but the slice must exist)
-            pltpu.VMEM((2, (2 * th + 4) * wc, pci2), y.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 2, (th + 1) * wc, pci2), y.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h * wc * 4 * (pci2 + COMBO) * pco,
@@ -1062,7 +1092,8 @@ def fused_conv_s2k4(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(y.reshape(bsz, h2 * wc, pci2), wm.astype(y.dtype), wh.astype(y.dtype))
+    )(_split_planes(y.reshape(bsz, h2 * wc, pci2), bsz, h2, wc),
+      wm.astype(y.dtype), wh.astype(y.dtype))
     return out.reshape(bsz, h, wc, pco)
 
 
@@ -1077,7 +1108,7 @@ def _deconv_dw_kernel(
     m = th * wc
     slot = _halo_stream(x_hbm, xs, sems, nh=nh, th=th, wc=wc, hb=0,
                         sem_idx=0)
-    _s2_stream(dy_hbm, dys, sems, nh=nh, th=th, wc=wc, sem_idx=1)
+    _s2_planes(dy_hbm, dys, sems, nh=nh, th=th, wc=wc, sem_base=1)
 
     @pl.when(idx == 0)
     def _():
@@ -1085,16 +1116,19 @@ def _deconv_dw_kernel(
         dwh_ref[...] = jnp.zeros(dwh_ref.shape, dwh_ref.dtype)
 
     xt = xs[slot]
-    dyall = dys[slot]
+    planes = (dys[slot, 0], dys[slot, 1])
+    combos = (_combo(planes[0], co, wc), _combo(planes[1], co, wc))
     contract_rows = (((0,), (0,)), ((), ()))
     for kr in range(4):
-        dyk = _rowsel2(dyall, kr, th, wc)
-        ck = _combo(dyk, co, wc)
+        par, roff = _S2_TAPS[kr]
+        off = roff * wc
         dwm_ref[kr] += jax.lax.dot_general(
-            xt[0:m], dyk, contract_rows, preferred_element_type=jnp.float32
+            xt[0:m], planes[par][off : off + m], contract_rows,
+            preferred_element_type=jnp.float32,
         )
         dwh_ref[kr] += jax.lax.dot_general(
-            xt[0:m], ck, contract_rows, preferred_element_type=jnp.float32
+            xt[0:m], combos[par][off : off + m], contract_rows,
+            preferred_element_type=jnp.float32,
         )
 
 
@@ -1140,9 +1174,8 @@ def pallas_deconv_dw(
     nb = x.dtype.itemsize
     th = _fit_th(h, th, lambda t: wc * (
         2 * t * pci * nb                      # x double buffer
-        + 2 * (2 * t + 2) * pco2 * nb         # dy double buffer
-        + 4 * t * (pco2 + COMBO) * 4          # rowsel + combo f32 temps
-        + 0
+        + 4 * (t + 1) * pco2 * nb             # dy parity-plane buffers
+        + 2 * (t + 1) * (pco2 + 2 * COMBO) * 4  # per-plane combo temps
     ) + 4 * pci * (pco2 + COMBO) * 4)         # accumulators
     nh = h // th
     grid = (bsz * nh,)
@@ -1172,9 +1205,8 @@ def pallas_deconv_dw(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, th * wc, pci), x.dtype),
-            # +2 tail rows: see fused_conv_s2k4's scratch comment
-            pltpu.VMEM((2, (2 * th + 4) * wc, pco2), dy.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, 2, (th + 1) * wc, pco2), dy.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h * wc * 4 * pci * (pco2 + COMBO),
@@ -1182,7 +1214,8 @@ def pallas_deconv_dw(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x.reshape(bsz, h * wc, pci), dy.reshape(bsz, 2 * h * wc, pco2))
+    )(x.reshape(bsz, h * wc, pci),
+      _split_planes(dy.reshape(bsz, 2 * h * wc, pco2), bsz, 2 * h, wc))
     return deconv_dw_adjoint(dwm, dwh, p, ci, co)
 
 
