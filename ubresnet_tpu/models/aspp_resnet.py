@@ -82,7 +82,7 @@ class ASPPResNet(nn.Module):
             x0 = ConvBN(p, 7, 1, use_bias=True, policy=pol, name="stem")(
                 xin, train=train
             )
-            y = stem_pool(x0)
+            y = stem_pool(x0, ad=pol.fused_train)
 
         encs = []
         for i in range(5):

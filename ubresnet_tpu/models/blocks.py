@@ -746,12 +746,18 @@ class ASPPCombine(nn.Module):
         )(x, train=train)
 
 
-def stem_pool(x):
+def stem_pool(x, ad: bool = False):
     """3x3 stride-2 maxpool with pad 1 (torch MaxPool2d(3, 2, 1)).
 
     Torch pads with -inf conceptually (ignores padding in the max);
     ``nn.max_pool`` with explicit padding uses -inf identity, matching.
-    """
+    ``ad`` swaps in the dense-backward custom VJP (ops/pool_ad.py) —
+    bit-identical forward and tie routing, no SelectAndScatterAdd in
+    the training graph."""
+    if ad and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        from ubresnet_tpu.ops.pool_ad import maxpool3x3s2_ad
+
+        return maxpool3x3s2_ad(x)
     return nn.max_pool(x, window_shape=(3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
 
@@ -776,7 +782,7 @@ def stem_pool_packed(x0, p_stem: int, p_out: int, pol: Policy,
             x0, p=p_stem, interpret=jax.default_backend() != "tpu"
         )
         return _repack(y, p_stem, p_out)
-    return pack(stem_pool(unpack(x0, p_stem)), p_out)
+    return pack(stem_pool(unpack(x0, p_stem), ad=pol.fused_train), p_out)
 
 
 def classifier_apply(clf, y, num_classes: int, p: int, pol: Policy,

@@ -87,7 +87,7 @@ class UResNet(nn.Module):
             # Stem (ub_uresnet.py:41-44): 7x7 conv + BN + ReLU, pool.
             x0 = ConvBN(cfg.inplanes, 7, 1, use_bias=True, policy=pol,
                         name="stem")(xin, train=train)
-            y = stem_pool(x0)
+            y = stem_pool(x0, ad=pol.fused_train)
 
         # Encoder: stage i has inplanes * 2^i channels; stride 1 then 2s.
         skips = [x0]
