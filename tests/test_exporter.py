@@ -71,6 +71,33 @@ def test_exported_state_dict_runs_in_reference_semantics(rng):
     assert agree >= 0.999, agree
 
 
+def test_export_torch_cli(tmp_path):
+    """orbax checkpoint dir → ubtpu-export-torch → reference .tar
+    with the trained step/metric carried into the envelope."""
+    import jax.numpy as jnp2  # noqa: F401
+
+    from ubresnet_tpu.cli.export_torch import main as export_main
+    from ubresnet_tpu.train import create_train_state, make_optimizer
+    from ubresnet_tpu.train.checkpoint import save_checkpoint
+
+    model, v = _init_vars()
+    tx = make_optimizer("adam", learning_rate=1e-4)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 1)), tx)
+    state = state.replace(step=7)
+    ckdir = str(tmp_path / "ckpt")
+    save_checkpoint(ckdir, state)
+    out = str(tmp_path / "exported.tar")
+    assert export_main(["--checkpoint-dir", ckdir, "--out", out]) == 0
+    raw = torch.load(out, weights_only=False)
+    assert raw["iter"] == 7
+    back, info = import_torch_checkpoint(out)
+    np.testing.assert_array_equal(
+        np.asarray(back["params"]["stem"]["conv"]["kernel"]),
+        np.asarray(state.params["stem"]["conv"]["kernel"]),
+    )
+
+
 def test_aspp_export_roundtrip(rng):
     """ASPP: reference sd → import → export reproduces every key and
     value (num_batches_tracked is synthesised, excluded)."""
