@@ -37,3 +37,43 @@ def test_packed_aspp_param_tree_identical():
 
     assert paths(v_plain["params"]) == paths(v_pack["params"])
     assert paths(v_plain["batch_stats"]) == paths(v_pack["batch_stats"])
+
+
+def test_aspp_fused_train_matches_unfused(rng):
+    """ASPP_ResNet under Policy.fused_train: loss + grads track the
+    unfused packed path (the packed zone shares blocks.py with UResNet;
+    this pins the ASPP-specific plumbing — stem/enc1/dec/head routing
+    and the unpacked ASPP stages - end to end)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from ubresnet_tpu.models import get_model
+
+    polT = dataclasses.replace(Policy.f32(), pack_width=8, fused_train=True)
+    polU = dataclasses.replace(polT, fused_train=False)
+    x = jnp.asarray(rng.rand(1, 64, 64, 1), jnp.float32)
+    mT = get_model("aspp_resnet", policy=polT, input_channels=1, inplanes=16)
+    mU = get_model("aspp_resnet", policy=polU, input_channels=1, inplanes=16)
+    v = mU.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(m, params):
+        out, _ = m.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, train=True, logits=True, mutable=["batch_stats"],
+        )
+        return jnp.mean(out ** 2)
+
+    lT, gT = jax.value_and_grad(lambda p: loss(mT, p))(v["params"])
+    lU, gU = jax.value_and_grad(lambda p: loss(mU, p))(v["params"])
+    np.testing.assert_allclose(float(lT), float(lU), rtol=1e-5)
+    flatT = jax.tree_util.tree_flatten_with_path(gT)[0]
+    flatU = jax.tree_util.tree_flatten_with_path(gU)[0]
+    gsc = max(float(jnp.abs(b).max()) for _, b in flatU)
+    # threshold calibrated against the measured f32-BN-train noise
+    # floor (see test_pallas_conv.py::test_fused_train_model_grads...)
+    for (pa, a), (_, b) in zip(flatT, flatU):
+        assert float(jnp.abs(a - b).max()) < 5e-2 * gsc, (
+            jax.tree_util.keystr(pa)
+        )
