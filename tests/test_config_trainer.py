@@ -153,6 +153,7 @@ def test_trainconfig_json_roundtrip(tmp_path):
         TrainConfig.from_dict({"nonsense": 1})
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(tmp_path):
     """Full loop: synthetic file -> loader -> train -> validate ->
     checkpoint -> resume."""

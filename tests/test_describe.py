@@ -1,4 +1,5 @@
 """Model introspection (showsizes equivalent) + ASPP-through-Trainer."""
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +25,7 @@ def test_describe_and_shapes():
     assert "UResNet" in table and "stem" in table
 
 
+@pytest.mark.slow
 def test_trainer_builds_aspp(tmp_path):
     from ubresnet_tpu.core.config import TrainConfig
     from ubresnet_tpu.data import make_synthetic_file

@@ -9,9 +9,12 @@ Reference discipline: caffe/README.md:9-13, compare_caffe_to_tf.py:89-97.
 """
 import json
 
+import pytest
+
 from ubresnet_tpu.cli.golden_parity import main
 
 
+@pytest.mark.slow
 def test_dry_run_report(tmp_path):
     report_path = str(tmp_path / "report.json")
     rc = main([

@@ -4,6 +4,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ubresnet_tpu.core.precision import Policy
 from ubresnet_tpu.models import ASPPResNet, ASPPResNetConfig
@@ -39,6 +40,7 @@ def test_packed_aspp_param_tree_identical():
     assert paths(v_plain["batch_stats"]) == paths(v_pack["batch_stats"])
 
 
+@pytest.mark.slow
 def test_aspp_fused_train_matches_unfused(rng):
     """ASPP_ResNet under Policy.fused_train: loss + grads track the
     unfused packed path (the packed zone shares blocks.py with UResNet;

@@ -4,6 +4,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ubresnet_tpu.core.precision import Policy
 from ubresnet_tpu.models import UResNet, UResNetConfig
@@ -65,6 +66,7 @@ def test_packed_train_step_matches_unpacked(rng):
                                    atol=1e-5, err_msg=jax.tree_util.keystr(pa))
 
 
+@pytest.mark.slow
 def test_packed_grads_match_unpacked(rng):
     x = jnp.asarray(rng.rand(1, 32, 32, 1).astype(np.float32) * 10)
     model = UResNet(config=CFG, policy=F32)

@@ -229,6 +229,7 @@ def test_conv_ad_grads_match_xla(rng, k, ci, co, p):
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("deconv_ad", [False, True])
 def test_fused_train_model_grads_match_xla(rng, deconv_ad):
     """Whole UResNet with fused_train: loss + grads match the XLA

@@ -37,6 +37,7 @@ def batch_of(b, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device():
     """Sharded-step loss == single-device loss on the same batch."""
     model, state = make_state()

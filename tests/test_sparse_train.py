@@ -1,6 +1,7 @@
 """Sparse training-batch transfer: roundtrip + trainer e2e."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ubresnet_tpu.ops.sparse import densify_batch, sparsify_batch
 
@@ -39,6 +40,7 @@ def test_sparse_bytes_much_smaller(rng):
     assert sparse_bytes < dense_bytes / 10
 
 
+@pytest.mark.slow
 def test_trainer_sparse_transfer(tmp_path):
     from ubresnet_tpu.core.config import TrainConfig
     from ubresnet_tpu.data import make_synthetic_file

@@ -37,6 +37,7 @@ def test_filter_occupied():
     assert filter_occupied(img, grid, 32, 32, 0.0) == grid
 
 
+@pytest.mark.slow
 def test_trainer_nan_recovery(tmp_path):
     """A poisoned batch at a NON-print iteration is skipped on-device:
     params stay clean, the subsequent checkpoint is finite, training
@@ -91,6 +92,7 @@ def test_trainer_nan_recovery(tmp_path):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+@pytest.mark.slow
 def test_trainer_nan_abort(tmp_path):
     """Persistent non-finite batches exceed max_nan_recoveries → abort
     (contained as summary['error'], with a final clean checkpoint)."""
@@ -169,6 +171,7 @@ def test_trainer_dense_with_step_wrapper(tmp_path):
     assert calls["n"] == 3
 
 
+@pytest.mark.slow
 def test_trainer_sparse_no_wrapper_example_shape(tmp_path):
     """Regression twin: sparse path with NO wrapper must init from the
     sparse-bucketed example (round 2 silently overwrote it with the

@@ -115,6 +115,7 @@ def test_step_schedule():
     assert s(25) == pytest.approx(1e-6)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, rng):
     state = small_state()
     step = build_train_step()
