@@ -282,7 +282,10 @@ def test_fused_train_model_grads_match_xla(rng, deconv_ad):
 
 @pytest.mark.parametrize("k,ci,co,p", [(3, 16, 16, 8), (3, 32, 16, 4),
                                        (7, 16, 16, 8), (1, 32, 32, 4),
-                                       (7, 16, 3, 8)])
+                                       (7, 16, 3, 8),
+                                       # pad branch where COMBO//p < co
+                                       # (regression: negative pad)
+                                       (3, 8, 12, 16)])
 def test_conv_dw_matches_xla(rng, k, ci, co, p):
     """pallas_conv_dw (all-Pallas grad-weights accumulator) == XLA's
     grad of the packed conv w.r.t. the unpacked kernel."""

@@ -298,3 +298,57 @@ def test_uevt_to_root_cli(tmp_path):
                     np.testing.assert_array_equal(img.pixels, arr)
                     assert img.meta.plane == m["plane"]
                     assert img.meta.width == pytest.approx(m["width"])
+
+
+def test_writer_sparse_producers_stay_aligned(tmp_path):
+    """Entries missing a producer (and producers first appearing
+    mid-file) must still occupy one tree entry per save_entry so
+    positional consumers pair entry i across all trees (review
+    finding: silent desync)."""
+    from ubresnet_tpu.data.meta import Image2D, ImageMeta
+    from ubresnet_tpu.data.rootio import RootFile, RootWriter
+
+    rng = np.random.RandomState(9)
+    path = str(tmp_path / "sparse.root")
+
+    def img(v):
+        px = np.full((8, 8), v, np.float32)
+        return Image2D(px, ImageMeta(0.0, 0.0, 4.0, 4.0, 8, 8, 0))
+
+    with RootWriter(path, entries_per_basket=2) as w:
+        # entry 0: only 'wire'; entry 1: both; entry 2: only 'late'
+        # ('late' first appears at entry 2 -> needs backfill)
+        w.append("wire", img(1.0))
+        w.set_id(1, 0, 100)
+        w.save_entry()
+        w.append("wire", img(2.0))
+        w.append("late", img(20.0))
+        w.set_id(1, 0, 101)
+        w.save_entry()
+        w.append("late", img(30.0))
+        w.set_id(1, 0, 102)
+        w.save_entry()
+
+    with RootFile(path) as rf:
+        br = rf.branches()
+        for prod in ("wire", "late"):
+            key = (f"image2d_{prod}_tree", f"image2d_{prod}_branch")
+            assert br[key]["entries"] == 3, (prod, br[key])
+        # wire: present, present, empty
+        for e, (n, v, ev) in enumerate([(1, 1.0, 100), (1, 2.0, 101),
+                                        (0, None, 102)]):
+            rse, imgs = rf.read_event("image2d_wire_tree",
+                                      "image2d_wire_branch", e)
+            assert rse == (1, 0, ev)
+            assert len(imgs) == n
+            if n:
+                assert imgs[0].pixels[0, 0] == v
+        # late: backfilled empty (with entry 0's rse), present, present
+        for e, (n, v, ev) in enumerate([(0, None, 100), (1, 20.0, 101),
+                                        (1, 30.0, 102)]):
+            rse, imgs = rf.read_event("image2d_late_tree",
+                                      "image2d_late_branch", e)
+            assert rse == (1, 0, ev)
+            assert len(imgs) == n
+            if n:
+                assert imgs[0].pixels[0, 0] == v

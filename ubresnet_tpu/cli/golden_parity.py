@@ -33,8 +33,10 @@ Modes:
   CaffeNet), (4) re-scores through a fresh process-independent
   reload of the same weights, (5) compares per plane with the
   threshold machinery, and (6) runs a NEGATIVE control: plane-2
-  weights perturbed by 5% must push label agreement BELOW the
-  threshold, proving the comparator can fail. The report records all
+  weights perturbed by 20% (sigma of a multiplicative gaussian; 5%
+  was measured NOT to move surrogate-weight labels below threshold)
+  must push label agreement BELOW the threshold, proving the
+  comparator can fail. The report records all
   of it; exit status is 0 only if every positive leg clears the
   threshold and the negative control is detected.
 """

@@ -269,6 +269,14 @@ class RootWriter:
         self.path = path
         self._pending: Dict[str, List[Image2D]] = {}
         self._rse = (0, 0, 0)
+        # positional consumers (larcv IOManager, RootFile.read_event)
+        # pair entry i across ALL producer trees — every tree must have
+        # exactly one entry per save_entry() call. Track producers ever
+        # seen plus each past entry's rse so a producer that goes
+        # missing in an entry (or appears mid-file) stays in sync via
+        # empty / backfilled entries.
+        self._producers: set = set()
+        self._past_rse: List[Tuple[int, int, int]] = []
 
     @property
     def error(self) -> str:
@@ -280,31 +288,45 @@ class RootWriter:
     def set_id(self, run: int, subrun: int, event: int):
         self._rse = (int(run), int(subrun), int(event))
 
-    def save_entry(self):
+    def _write_producer(self, producer: str, imgs: List[Image2D],
+                        rse_tuple: Tuple[int, int, int]):
         c = ctypes
-        rse = (c.c_long * 3)(*self._rse)
-        for producer, imgs in self._pending.items():
-            n = len(imgs)
-            rows = (c.c_long * n)(*[i.meta.rows for i in imgs])
-            cols = (c.c_long * n)(*[i.meta.cols for i in imgs])
-            planes = (c.c_long * n)(*[i.meta.plane for i in imgs])
-            meta4 = (c.c_double * (4 * n))()
-            for j, im in enumerate(imgs):
-                m = im.meta
-                # larcv origin = top-left (min_x, max_y)
-                meta4[4 * j : 4 * j + 4] = [
-                    m.min_x, m.max_y, m.max_x - m.min_x, m.max_y - m.min_y,
-                ]
-            px = np.concatenate(
-                [np.asarray(i.pixels, np.float32).reshape(-1) for i in imgs]
-            ) if n else np.empty(0, np.float32)
-            px = np.ascontiguousarray(px, np.float32)
-            rc = self._lib.rootw_write_entry(
-                self._h, producer.encode(), rse, n, rows, cols, planes,
-                meta4, px.ctypes.data_as(c.POINTER(c.c_float)),
+        rse = (c.c_long * 3)(*rse_tuple)
+        n = len(imgs)
+        rows = (c.c_long * max(n, 1))(*[i.meta.rows for i in imgs])
+        cols = (c.c_long * max(n, 1))(*[i.meta.cols for i in imgs])
+        planes = (c.c_long * max(n, 1))(*[i.meta.plane for i in imgs])
+        meta4 = (c.c_double * max(4 * n, 1))()
+        for j, im in enumerate(imgs):
+            m = im.meta
+            # larcv origin = top-left (min_x, max_y)
+            meta4[4 * j : 4 * j + 4] = [
+                m.min_x, m.max_y, m.max_x - m.min_x, m.max_y - m.min_y,
+            ]
+        px = np.concatenate(
+            [np.asarray(i.pixels, np.float32).reshape(-1) for i in imgs]
+        ) if n else np.empty(1, np.float32)
+        px = np.ascontiguousarray(px, np.float32)
+        rc = self._lib.rootw_write_entry(
+            self._h, producer.encode(), rse, n, rows, cols, planes,
+            meta4, px.ctypes.data_as(c.POINTER(c.c_float)),
+        )
+        if rc != 0:
+            raise IOError(self.error)
+
+    def save_entry(self):
+        for producer in sorted(set(self._pending) | self._producers):
+            if producer not in self._producers:
+                # producer first seen mid-file: backfill one empty
+                # entry per already-saved entry (with that entry's
+                # rse) so tree index == global entry index
+                for past in self._past_rse:
+                    self._write_producer(producer, [], past)
+                self._producers.add(producer)
+            self._write_producer(
+                producer, self._pending.get(producer, []), self._rse
             )
-            if rc != 0:
-                raise IOError(self.error)
+        self._past_rse.append(self._rse)
         self._pending.clear()
         self._rse = (0, 0, 0)
 

@@ -168,7 +168,10 @@ class PrecroppedRunner:
         def drain(pending):
             images, dev = pending
             t0 = time.time()
-            scores = self._fetch(dev)[: len(images)]
+            # slice on device BEFORE the D2H read: the final partial
+            # batch otherwise transfers its zero-padded rows only to
+            # discard them on the host
+            scores = self._fetch(dev[: len(images)])
             timing["forward"] += time.time() - t0
             t0 = time.time()
             for img, score in zip(images, scores):

@@ -1556,10 +1556,17 @@ def pallas_conv_dw(
     ci = pci // p
     co = pco // p
     if pco % COMBO:
-        # Mosaic HBM slices must be lane-tile (128) aligned: a pco<128
-        # dy (the num_classes=3 classifier head) is channel-padded to
-        # the lane-filling co, and the padded dW columns sliced off.
-        co2 = COMBO // p
+        # Mosaic HBM slices must be lane-tile (128) aligned: a dy whose
+        # packed width doesn't divide 128 (the num_classes=3 classifier
+        # head) is channel-padded to the smallest co2 >= co with
+        # p*co2 % 128 == 0, and the padded dW columns sliced off.
+        # co2 must be a multiple of 128/gcd(p, 128) — COMBO//p alone is
+        # wrong whenever it lands below co (negative pad) or p doesn't
+        # divide 128 (never aligns).
+        import math
+
+        unit = COMBO // math.gcd(p, COMBO)
+        co2 = unit * -(-co // unit)
         dy2 = jnp.pad(
             dy.reshape(bsz, h, wc, p, co),
             ((0, 0),) * 4 + ((0, co2 - co),),

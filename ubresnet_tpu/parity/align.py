@@ -51,5 +51,9 @@ def align_entries(ra, rb, n_entries=None) -> List[Tuple[int, int]]:
             + (f"; first unmatched on the other side: {extra[:5]}"
                if extra else "")
         )
-    pairs = [(ia[r][0], ib[r][0]) for r in sorted(ia)]
+    # file-A order (as documented): n_entries then selects "the first
+    # k entries of file A", not the k numerically-smallest event ids
+    pairs = sorted(
+        ((ia[r][0], ib[r][0]) for r in ia), key=lambda p: p[0]
+    )
     return pairs[:n_entries] if n_entries is not None else pairs

@@ -72,6 +72,14 @@ def compare_score_files(
         sb = [im.pixels for im in rb.read_entry(ib)[producer_b]]
         adc = None
         if radc is not None:
+            if i not in adc_pairs:
+                raise ValueError(
+                    f"ADC file {adc_file} has no entry aligned to "
+                    f"file-A entry {i} (rse {ra.rse(i)}): the ADC "
+                    f"alignment fell back to positional pairing over "
+                    f"{len(adc_pairs)} entries — shorter than the "
+                    f"compared range"
+                )
             imgs = radc.read_entry(adc_pairs[i])[adc_producer]
             adc = imgs[0].pixels
         m = score_diff(sa, sb, adc, adc_threshold)
