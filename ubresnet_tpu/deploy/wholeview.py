@@ -145,6 +145,35 @@ class WholeViewRunner:
             adc_threshold,
         )
 
+    def dispatch_image(
+        self,
+        image: np.ndarray,
+        grid: Optional[Tuple[Tuple[int, int], ...]] = None,
+    ) -> jax.Array:
+        """Asynchronously dispatch the split→score→stitch program for
+        one plane; returns the device array. JAX dispatch is async, so
+        callers can enqueue several planes and read them back in order
+        — the D2H of plane k then overlaps the compute of plane k+1
+        (same one-deep-pipeline idea as deploy/precropped.py)."""
+        if not self.sparse:
+            run, _ = self._pipeline(image.shape[:2], grid=grid)
+            return run(self.variables, jnp.asarray(image, jnp.float32)[..., None])
+        from ubresnet_tpu.ops.sparse import sparsify
+
+        sp = sparsify(image[None].astype(np.float32), bucket=self.sparse_bucket)
+        k = sp["indices"].shape[1]
+        self._cap = max(self._cap, k)
+        if k < self._cap:
+            pad = self._cap - k
+            sp["indices"] = np.pad(sp["indices"], ((0, 0), (0, pad)))
+            sp["values"] = np.pad(sp["values"], ((0, 0), (0, pad)))
+        run, _ = self._pipeline(image.shape[:2], cap=self._cap, grid=grid)
+        return run(
+            self.variables,
+            jax.device_put(sp["indices"]),
+            jax.device_put(sp["values"]),
+        )
+
     def score_image(
         self,
         image: np.ndarray,
@@ -157,26 +186,7 @@ class WholeViewRunner:
         on-device before the split→score→stitch program. ``grid``
         overrides the default per-plane tile grid (used by the
         detector-consistent triplet path)."""
-        if not self.sparse:
-            run, _ = self._pipeline(image.shape[:2], grid=grid)
-            out = run(self.variables, jnp.asarray(image, jnp.float32)[..., None])
-            return np.asarray(jax.device_get(out))
-        from ubresnet_tpu.ops.sparse import sparsify
-
-        sp = sparsify(image[None].astype(np.float32), bucket=self.sparse_bucket)
-        k = sp["indices"].shape[1]
-        self._cap = max(self._cap, k)
-        if k < self._cap:
-            pad = self._cap - k
-            sp["indices"] = np.pad(sp["indices"], ((0, 0), (0, pad)))
-            sp["values"] = np.pad(sp["values"], ((0, 0), (0, pad)))
-        run, _ = self._pipeline(image.shape[:2], cap=self._cap, grid=grid)
-        out = run(
-            self.variables,
-            jax.device_put(sp["indices"]),
-            jax.device_put(sp["values"]),
-        )
-        return np.asarray(jax.device_get(out))
+        return np.asarray(jax.device_get(self.dispatch_image(image, grid)))
 
     def _detsplit_grids(self, hw: Tuple[int, int]):
         """Per-plane grids from 3D-consistent triplets (UBSplitDetector
@@ -239,14 +249,24 @@ class WholeViewRunner:
                         writer.append(prod, im)
                 timing["write"] += time.time() - t0
 
+            # dispatch every plane of the entry first (async enqueue),
+            # then drain in order: plane k's D2H readback overlaps
+            # plane k+1's on-device compute
+            t0 = time.time()
+            in_flight = []
             for img in images:
-                t0 = time.time()
                 grid = None
                 if detsplit:
                     grid = self._detsplit_grids(img.pixels.shape[:2])[
                         img.meta.plane
                     ]
-                scores = self.score_image(img.pixels, grid=grid)
+                in_flight.append((img, self.dispatch_image(img.pixels,
+                                                           grid=grid)))
+            timing["splitscore"] += time.time() - t0
+
+            for img, dev in in_flight:
+                t0 = time.time()
+                scores = np.asarray(jax.device_get(dev))
                 timing["splitscore"] += time.time() - t0
 
                 t0 = time.time()
