@@ -104,3 +104,45 @@ def test_spatial_sharding_forward_matches():
         xs = jax.device_put(x, spatial_sharding(mesh))
         out = jax.jit(lambda v, im: model.apply(v, im))(variables, xs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_fused_train_stats_sharded_match_single_device(rng):
+    """The stats-decoupled train zone under pjit batch sharding: the
+    kernel-emitted BN moment sums are grid-accumulated VMEM outputs,
+    and GSPMD must all-reduce them across batch shards. Batch-stat
+    updates are a deterministic function of the global batch, so
+    sharded == single-device pins that reduction (grads are NOT
+    compared here - f32 BN-train grads carry ~1e-2*scale inherent
+    noise, see test_pallas_conv.py threshold calibration)."""
+    import dataclasses
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ubresnet_tpu.models import get_model
+
+    pol = dataclasses.replace(Policy.f32(), pack_width=8, fused_train=True)
+    model = get_model("uresnet", policy=pol, input_channels=1, inplanes=16)
+    x = jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    vr = jax.device_put(v, NamedSharding(mesh, P()))
+
+    @jax.jit
+    def stats(v, x):
+        _, upd = model.apply(v, x, train=True, logits=True,
+                             mutable=["batch_stats"])
+        return upd["batch_stats"]
+
+    s_sh = stats(vr, xs)
+    s_1d = stats(v, x)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(s_sh)[0],
+        jax.tree_util.tree_flatten_with_path(s_1d)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(pa),
+        )
