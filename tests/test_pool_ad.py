@@ -79,3 +79,31 @@ def test_model_pool_routing(rng, fused_train):
     g = jax.grad(lambda x: jnp.sum(stem_pool(x, ad=pol.fused_train) ** 2))(x)
     gr = jax.grad(lambda x: jnp.sum(_native(x) ** 2))(x)
     np.testing.assert_array_equal(np.asarray(g), np.asarray(gr))
+
+
+def test_packed_pool_ad_matches_unpacked(rng):
+    """packed_pool_ad (Pallas fwd + dense bwd on reshape views) ==
+    the unpacked native pool fwd + VJP, on non-negative packed input."""
+    from ubresnet_tpu.ops.packed import pack, unpack
+    from ubresnet_tpu.ops.pool_ad import packed_pool_ad
+
+    p = 8
+    x = jnp.asarray((rng.rand(2, 16, 16 * p, 16) > 0.8)
+                    * rng.rand(2, 16, 16 * p, 16) * 7, jnp.float32)
+    xp = pack(x, p)
+    y = packed_pool_ad(xp, p, True)
+    yr = _native(x)
+    np.testing.assert_array_equal(np.asarray(unpack(y, p)), np.asarray(yr))
+
+    r = jnp.asarray(rng.rand(*yr.shape), jnp.float32)
+
+    def loss_p(xp):
+        return jnp.sum(unpack(packed_pool_ad(xp, p, True), p) * r)
+
+    def loss_u(x):
+        return jnp.sum(_native(x) * r)
+
+    g = unpack(jax.grad(loss_p)(xp), p)
+    gr = jax.grad(loss_u)(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                               rtol=2e-6, atol=1e-7)

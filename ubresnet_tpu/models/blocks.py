@@ -782,6 +782,19 @@ def stem_pool_packed(x0, p_stem: int, p_out: int, pol: Policy,
             x0, p=p_stem, interpret=jax.default_backend() != "tpu"
         )
         return _repack(y, p_stem, p_out)
+    if (
+        pol.fused_train
+        and x0.shape[-1] == 128
+        and x0.shape[1] % 2 == 0
+        and x0.shape[2] % 2 == 0
+    ):
+        # train: Pallas pool forward (the unpacked XLA pool runs C=16
+        # tensors at 1/8 lane occupancy) + dense parity-grid backward
+        # on unpacked reshape views (ops/pool_ad.py)
+        from ubresnet_tpu.ops.pool_ad import packed_pool_ad
+
+        y = packed_pool_ad(x0, p_stem, jax.default_backend() != "tpu")
+        return _repack(y, p_stem, p_out)
     return pack(stem_pool(unpack(x0, p_stem), ad=pol.fused_train), p_out)
 
 

@@ -19,6 +19,8 @@ give H/2 x W/2 exactly).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,6 +48,14 @@ def maxpool3x3s2_ad(x: jax.Array) -> jax.Array:
 def _fwd(x):
     y = _pool_fwd(x)
     return y, (x, y)
+
+
+def pool_backward(x: jax.Array, y: jax.Array, dy: jax.Array) -> jax.Array:
+    """The dense parity-grid backward as a standalone function:
+    dx given the pool's primal input, output and output cotangent
+    (all NHWC, even H/W). Used by both the unpacked custom VJP here
+    and the packed-forward variant below."""
+    return _bwd((x, y), dy)[0]
 
 
 def _bwd(saved, dy):
@@ -117,6 +127,37 @@ def _bwd(saved, dy):
 
 
 maxpool3x3s2_ad.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def packed_pool_ad(x: jax.Array, p: int, interpret: bool = False):
+    """3x3/s2/p1 maxpool on a W-packed NON-NEGATIVE tensor with the
+    Pallas pool forward (ops/pallas_conv.py:fused_pool3x3s2 — the
+    unpacked XLA pool runs C=16 tensors at 1/8 lane occupancy) and the
+    dense parity-grid backward on unpacked VIEWS (pack/unpack are pure
+    reshapes in this layout, so no transpose materialises).
+
+    x: (b, h, wc, p*ci) with p*ci == 128, even h and wc*p.
+    Returns (b, h/2, wc/2, p*ci)."""
+    from ubresnet_tpu.ops.pallas_conv import fused_pool3x3s2
+
+    return fused_pool3x3s2(x, p=p, interpret=interpret)
+
+
+def _pp_fwd(x, p, interpret):
+    y = packed_pool_ad(x, p, interpret)
+    return y, (x, y)
+
+
+def _pp_bwd(p, interpret, saved, dy):
+    from ubresnet_tpu.ops.packed import pack, unpack
+
+    x, y = saved
+    dx = pool_backward(unpack(x, p), unpack(y, p), unpack(dy, p))
+    return (pack(dx, p),)
+
+
+packed_pool_ad.defvjp(_pp_fwd, _pp_bwd)
 
 
 def _selftest():  # pragma: no cover - dev helper
