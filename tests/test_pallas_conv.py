@@ -441,3 +441,34 @@ def test_convbn_fused_train_stats_path(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5,
                                    err_msg=jax.tree_util.keystr(pa))
+
+
+def test_fused_train_bf16_smoke(rng):
+    """fused_train with the TPU bf16 compute policy (interpret mode):
+    loss finite and near the unfused bf16 path, grads finite. Pins the
+    dtype plumbing of the stats kernels (bf16 y, f32 moment sums)."""
+    from ubresnet_tpu.models import get_model
+
+    polT = dataclasses.replace(Policy.bf16(), pack_width=8,
+                               fused_train=True)
+    polU = dataclasses.replace(polT, fused_train=False)
+    x = jnp.asarray(rng.rand(1, 32, 32, 1), jnp.float32)
+    mT = get_model("uresnet", policy=polT, input_channels=1, inplanes=16)
+    mU = get_model("uresnet", policy=polU, input_channels=1, inplanes=16)
+    v = mU.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(m, params):
+        out, _ = m.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, train=True, logits=True, mutable=["batch_stats"],
+        )
+        return jnp.mean(out ** 2)
+
+    lT, gT = jax.value_and_grad(lambda p: loss(mT, p))(v["params"])
+    lU = loss(mU, v["params"])
+    assert np.isfinite(float(lT)) and np.isfinite(float(lU))
+    np.testing.assert_allclose(float(lT), float(lU), rtol=0.15)
+    assert all(
+        bool(jnp.all(jnp.isfinite(a)))
+        for a in jax.tree_util.tree_leaves(gT)
+    )
