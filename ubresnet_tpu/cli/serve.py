@@ -1,0 +1,120 @@
+"""Watch-dir serving mode: continuously score event files as they
+arrive — the production-deployment wrapper around the precropped
+runner (the reference's workflow runs run_ubresnet_precropped.py once
+per file by hand; this keeps one warm process + compiled program
+across files, so per-file cost is IO + forward only).
+
+    ubtpu-serve --watch-dir in/ --out-dir out/ -c model.tar -p 2
+    ubtpu-serve ... --once            # drain the backlog and exit
+
+Files count as processed when their output exists; a `<name>.failed`
+marker quarantines files that raise, so one bad file can't wedge the
+loop. New files are picked up only after their size is stable across
+two polls (avoids racing a writer mid-copy).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import sys
+import time
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--watch-dir", required=True)
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("-c", "--checkpoint", required=True,
+                    help="reference .tar or orbax checkpoint dir")
+    ap.add_argument("--config", help="TrainConfig JSON (orbax ckpts)")
+    ap.add_argument("--best", action="store_true")
+    ap.add_argument("--arch", default="uresnet")
+    ap.add_argument("-p", "--plane", type=int, default=2)
+    ap.add_argument("-t", "--producer", default="wire")
+    ap.add_argument("-b", "--batchsize", type=int, default=8)
+    ap.add_argument("--poll", type=float, default=2.0,
+                    help="seconds between directory scans")
+    ap.add_argument("--once", action="store_true",
+                    help="process the current backlog, then exit")
+    ap.add_argument("--root-out", action="store_true",
+                    help="write .root (larcv write-back) outputs")
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    return ap
+
+
+def _candidates(watch_dir):
+    for name in sorted(os.listdir(watch_dir)):
+        if name.endswith((".uevt", ".root")):
+            yield name
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from ubresnet_tpu.cli.infer_precropped import load_model_and_variables
+    from ubresnet_tpu.deploy.precropped import PrecroppedRunner
+    from ubresnet_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    os.makedirs(args.out_dir, exist_ok=True)
+    model, variables = load_model_and_variables(args)
+    runner = PrecroppedRunner(model, variables, batch_size=args.batchsize)
+
+    stop = {"flag": False}
+
+    def _sig(*_):
+        stop["flag"] = True
+
+    signal.signal(signal.SIGTERM, _sig)
+    signal.signal(signal.SIGINT, _sig)
+
+    ext = ".root" if args.root_out else ".uevt"
+    sizes = {}
+    served = 0
+    while not stop["flag"]:
+        backlog = []
+        for name in _candidates(args.watch_dir):
+            base = os.path.splitext(name)[0]
+            out = os.path.join(args.out_dir, base + "_scores" + ext)
+            failed = os.path.join(args.out_dir, name + ".failed")
+            if os.path.exists(out) or os.path.exists(failed):
+                continue
+            path = os.path.join(args.watch_dir, name)
+            size = os.path.getsize(path)
+            if not args.once and sizes.get(name) != size:
+                sizes[name] = size  # wait one poll for a stable size
+                continue
+            backlog.append((name, path, out, failed))
+        for name, path, out, failed in backlog:
+            if stop["flag"]:
+                break
+            try:
+                t0 = time.time()
+                timing = runner.run(
+                    path, out, plane=args.plane, producer=args.producer,
+                    verbose=args.verbose,
+                )
+                served += 1
+                print(json.dumps({
+                    "served": name, "output": os.path.basename(out),
+                    "seconds": round(time.time() - t0, 3),
+                    "timing": {k: round(v, 3) for k, v in timing.items()},
+                }), flush=True)
+            except Exception as exc:  # quarantine, keep serving
+                if os.path.exists(out):
+                    os.remove(out)
+                with open(failed, "w") as f:
+                    f.write(f"{type(exc).__name__}: {exc}\n")
+                print(json.dumps({"failed": name, "error": str(exc)}),
+                      file=sys.stderr, flush=True)
+        if args.once:
+            break
+        time.sleep(args.poll)
+    print(json.dumps({"shutdown": True, "served": served}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
