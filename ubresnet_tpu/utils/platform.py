@@ -7,6 +7,47 @@ needed for CPU smoke runs, CI, and the virtual-mesh tests.
 from __future__ import annotations
 
 import os
+import subprocess
+import sys
+
+
+def probe_backend(timeout: float = 45.0) -> dict:
+    """Ask the default jax backend for its devices in a SUBPROCESS with
+    a hard timeout.
+
+    ``jax.devices()`` against a wedged axon/TPU tunnel hangs forever
+    (observed round 3: the in-process call blocked the multichip dryrun
+    into an rc=124 and bench.py into a raw traceback), so anything that
+    merely *wants to know* whether a backend is usable must never ask
+    in-process. Returns ``{"ok": bool, "n_devices": int, "platform":
+    str, "error": str}`` — on timeout/failure ``ok`` is False and
+    ``error`` says why.
+    """
+    code = (
+        "import jax, sys\n"
+        "ds = jax.devices()\n"
+        "sys.stdout.write('%d %s' % (len(ds), ds[0].platform))\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "n_devices": 0, "platform": "",
+                "error": f"backend probe timed out after {timeout:.0f}s"}
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()[-1:] or [""]
+        return {"ok": False, "n_devices": 0, "platform": "",
+                "error": f"backend probe rc={proc.returncode}: {tail[0]}"}
+    try:
+        n, plat = proc.stdout.split()
+        return {"ok": True, "n_devices": int(n), "platform": plat, "error": ""}
+    except ValueError:
+        return {"ok": False, "n_devices": 0, "platform": "",
+                "error": f"unparseable probe output: {proc.stdout!r}"}
 
 
 def apply_platform_env():
