@@ -3,6 +3,8 @@ XLA equivalents at decoder shapes. Baseline to beat (round-3a,
 docs/roofline.md): Pallas dx+dW 257.6 ms vs XLA 42.5 ms at the
 128-cell decoder shape. Run on the real chip.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import time
 import numpy as np
 import jax, jax.numpy as jnp

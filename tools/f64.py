@@ -1,4 +1,6 @@
-"""f64 oracle, split by process: python _scratch_f64.py {U,T,64,cmp}"""
+"""f64 oracle, split by process: python tools/f64.py {U,T,64,cmp}"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 mode = sys.argv[1]

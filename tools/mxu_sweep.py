@@ -2,6 +2,8 @@
 vs XLA packed conv at model shapes, varying th; plus a pe=16 (N=256)
 variant of the 16-ch stage to probe multi-MXU width scaling. Run on
 the real chip."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import time
 import numpy as np
 import jax, jax.numpy as jnp

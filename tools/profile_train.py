@@ -1,9 +1,11 @@
 """TPU train-step profiler: per-config timing + optional jax.profiler
 trace. Run when the tunnel is back:
 
-    python _scratch_profile_train.py            # A/B matrix
-    python _scratch_profile_train.py trace      # + profiler trace dump
+    python tools/profile_train.py            # A/B matrix
+    python tools/profile_train.py trace      # + profiler trace dump
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import dataclasses, sys, time
 import numpy as np
 import jax, jax.numpy as jnp

@@ -1,4 +1,6 @@
 """Trace the train step at TPU shapes; count non-Pallas hot ops."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 import dataclasses, sys

@@ -1,4 +1,6 @@
 """A/B: train step fused_train off vs on (new Pallas-complete zone)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import dataclasses, time, sys
 import numpy as np
 import bench  # repo-root bench helpers

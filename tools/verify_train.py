@@ -1,5 +1,7 @@
 """Verify drive: real-TPU train steps with fused_train on — loss
 finite/decreasing + steady-state ms/step vs the XLA packed path."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import dataclasses, time
 import numpy as np
 import jax, jax.numpy as jnp
