@@ -9,6 +9,7 @@ generations' dictionary variants). See root_synth.py's docstring for
 the format coverage.
 """
 import itertools
+import struct
 
 import numpy as np
 import pytest
@@ -352,3 +353,92 @@ def test_writer_sparse_producers_stay_aligned(tmp_path):
             assert len(imgs) == n
             if n:
                 assert imgs[0].pixels[0, 0] == v
+
+
+# ------------------------------------ independent writer validation
+
+def _write_truth(path, compress=True, entries_per_basket=2, n_entries=5):
+    from ubresnet_tpu.data.meta import Image2D, ImageMeta
+    from ubresnet_tpu.data.rootio import RootWriter
+
+    rng = np.random.RandomState(11)
+    truth = {}
+    with RootWriter(path, compress=compress,
+                    entries_per_basket=entries_per_basket) as w:
+        for e in range(n_entries):
+            for prod, nplanes in (("uburn_plane0", 3), ("wire", 1)):
+                for p in range(nplanes):
+                    px = rng.rand(16 + e, 12 + p).astype(np.float32)
+                    meta = ImageMeta(2.0 * p, -3.0, 2.0 * p + (12 + p) * 0.5,
+                                     -3.0 + (16 + e) * 0.5, 16 + e, 12 + p, p)
+                    w.append(prod, Image2D(px, meta))
+                    truth[(prod, e, p)] = (px, meta)
+            w.set_id(7, 2, 900 + e)
+            w.save_entry()
+    return truth
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_writer_vs_independent_decoder(tmp_path, compress):
+    """The native writer's output byte-walked by tests/rootwalk.py — a
+    pure-Python decoder sharing NO logic with cpp/rootio.cpp — so a
+    writer bug cannot be masked by a matching reader bug (VERDICT
+    round-3 item 5). Conformance (TKey tiling, fSeekKey/fKeylen,
+    compression frame lengths, basket offset tables, TTree stub entry
+    counts) is asserted inside the walk; payload equality here."""
+    import rootwalk
+
+    path = str(tmp_path / "w.root")
+    truth = _write_truth(path, compress=compress)
+
+    res = rootwalk.walk_file(path)
+    assert res["header"]["begin"] == 100
+    classes = {k.cls for k in res["keys"]}
+    assert {"TFile", "TBasket", "TTree"} <= classes
+    for prod, nplanes in (("uburn_plane0", 3), ("wire", 1)):
+        tree = res["trees"][f"image2d_{prod}_tree"]
+        assert tree["entries"] == 5
+        for e, ev in enumerate(tree["events"]):
+            assert ev.producer == prod
+            assert (ev.run, ev.subrun, ev.event) == (7, 2, 900 + e)
+            assert len(ev.images) == nplanes
+            for p, img in enumerate(ev.images):
+                px, meta = truth[(prod, e, p)]
+                assert (img.rows, img.cols, img.plane) == (16 + e, 12 + p, p)
+                np.testing.assert_array_equal(
+                    np.array(img.pixels, np.float32), px)
+                assert img.origin_x == pytest.approx(meta.min_x)
+                assert img.origin_y == pytest.approx(meta.max_y)
+                assert img.width == pytest.approx(meta.max_x - meta.min_x)
+                assert img.height == pytest.approx(meta.max_y - meta.min_y)
+
+
+def test_independent_decoder_negative_control(tmp_path):
+    """The walker must FAIL on corrupted output — otherwise the
+    validation proves nothing (same discipline as the golden-parity
+    dry run's negative control)."""
+    import rootwalk
+
+    path = str(tmp_path / "w.root")
+    _write_truth(path, n_entries=2)
+    blob = bytearray(open(path, "rb").read())
+    rootwalk.walk_file(path)  # sanity: clean file walks
+
+    # (a) basket payload corruption -> frame/pixel decode must object
+    hdr, keys = rootwalk.walk_keys(bytes(blob))
+    bk = next(k for k in keys if k.cls == "TBasket")
+    bad = bytearray(blob)
+    bad[bk.seek + bk.keylen + 4] ^= 0xFF
+    badpath = str(tmp_path / "bad.root")
+    open(badpath, "wb").write(bytes(bad))
+    with pytest.raises(Exception):
+        rootwalk.walk_file(badpath)
+
+    # (b) header fEND off by one -> record tiling check must object
+    bad2 = bytearray(blob)
+    end = struct.unpack(">i", bad2[12:16])[0]
+    bad2[12:16] = struct.pack(">i", end - 1)
+    badpath2 = str(tmp_path / "bad2.root")
+    open(badpath2, "wb").write(bytes(bad2))
+    with pytest.raises(rootwalk.ConformanceError):
+        rootwalk.walk_file(badpath2)
