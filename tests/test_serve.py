@@ -2,6 +2,7 @@
 process across files, failure quarantine, idempotent re-run."""
 import json
 import os
+import time
 
 import numpy as np
 import pytest
@@ -52,3 +53,103 @@ def test_serve_once_drains_and_quarantines(tmp_path, ckpt, capsys):
     lines = [json.loads(l) for l in
              capsys.readouterr().out.strip().splitlines()]
     assert lines[-1]["served"] == 0
+
+
+def _wait_for(path, timeout=240.0, absent=()):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        for a in absent:
+            assert not os.path.exists(a), f"quarantined: {open(a).read()}"
+        if os.path.exists(path):
+            return True
+        time.sleep(0.2)
+    return False
+
+
+@pytest.mark.slow
+def test_serve_continuous_poll_root_io_and_sigterm(tmp_path, ckpt):
+    """The advertised daemon behaviors end-to-end (VERDICT round-3
+    item 6): continuous poll loop in a real process, a slow/racing
+    writer exercising the size-stability guard (a mid-copy file must
+    be held, then served cleanly — never quarantined), larcv .root
+    input with --root-out write-back, and SIGTERM clean shutdown with
+    the final summary line."""
+    import shutil
+    import signal
+    import subprocess
+    import sys
+    import threading
+
+    from ubresnet_tpu.cli.convert import main as convert_main
+
+    watch = tmp_path / "in"
+    out = tmp_path / "out"
+    watch.mkdir()
+    make_synthetic_file(str(watch / "a.uevt"), n_events=2, hw=(64, 64))
+    # larcv .root input via the framework's own migration path
+    make_synthetic_file(str(tmp_path / "r_src.uevt"), n_events=1,
+                        hw=(64, 64))
+    assert convert_main(["--to-root", str(tmp_path / "r_src.uevt"),
+                         str(watch / "r.root")]) == 0
+
+    env = dict(os.environ, UBTPU_PLATFORM="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ubresnet_tpu.cli.serve",
+         "--watch-dir", str(watch), "--out-dir", str(out),
+         "-c", ckpt, "-p", "2", "--f32", "-b", "2",
+         "--poll", "0.3", "--root-out"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+    )
+    try:
+        # backlog served from the poll loop (includes model compile)
+        assert _wait_for(str(out / "a_scores.root"))
+        assert _wait_for(str(out / "r_scores.root"))
+
+        # slow writer: stream a valid file in small chunks across many
+        # polls; the size-stability guard must hold it mid-copy and
+        # serve it whole (without the guard the partial file would be
+        # parsed and quarantined as .failed)
+        make_synthetic_file(str(tmp_path / "c_full.uevt"), n_events=2,
+                            hw=(64, 64))
+        blob = open(str(tmp_path / "c_full.uevt"), "rb").read()
+        cpath = str(watch / "c.uevt")
+
+        def slow_write():
+            step = max(1, len(blob) // 24)
+            with open(cpath, "wb") as f:
+                for i in range(0, len(blob), step):
+                    f.write(blob[i:i + step])
+                    f.flush()
+                    time.sleep(0.05)
+
+        th = threading.Thread(target=slow_write)
+        th.start()
+        ok = _wait_for(str(out / "c_scores.root"),
+                       absent=[str(out / "c.uevt.failed")])
+        th.join()
+        assert ok, "slow-written file never served"
+        assert not os.path.exists(str(out / "c.uevt.failed"))
+
+        proc.send_signal(signal.SIGTERM)
+        stdout, stderr = proc.communicate(timeout=60)
+        assert proc.returncode == 0, stderr[-2000:]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+
+    lines = [json.loads(l) for l in stdout.strip().splitlines()]
+    assert lines[-1]["shutdown"] is True
+    assert lines[-1]["served"] == 3
+    served = {l["served"] for l in lines[:-1] if "served" in l}
+    assert served == {"a.uevt", "r.root", "c.uevt"}
+
+    # .root outputs carry normalized per-class scores + the source rse
+    from ubresnet_tpu.data.rootio import RootEventReader
+
+    with RootEventReader(str(out / "a_scores.root")) as r:
+        assert len(r) == 2
+        imgs = r.read_entry(0)["uburn_plane2"]
+        assert len(imgs) == 3
+        total = sum(i.pixels for i in imgs)
+        np.testing.assert_allclose(total, 1.0, atol=1e-4)

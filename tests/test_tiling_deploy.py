@@ -176,3 +176,35 @@ def test_wholeview_matches_single_tile(tmp_path, tiny_model):
         jnp.exp(model.apply(variables, jnp.asarray(img)[None, ..., None]))[0]
     )
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_precropped_runner_root_input(tmp_path, tiny_model):
+    """Deploy reading a larcv .root input directly (reference deploy
+    reads ROOT natively, run_ubresnet_precropped.py:83-84; round-3
+    serve accepted .root names but the runner failed them). Scores
+    must match the same events served from .uevt."""
+    from ubresnet_tpu.cli.convert import main as convert_main
+    from ubresnet_tpu.data.rootio import native_available
+
+    if not native_available():
+        pytest.skip("native rootio unavailable")
+    model, variables = tiny_model
+    inp = make_synthetic_file(str(tmp_path / "in.uevt"), n_events=3,
+                              hw=(64, 64))
+    rootin = str(tmp_path / "in.root")
+    assert convert_main(["--to-root", inp, rootin]) == 0
+
+    runner = PrecroppedRunner(model, variables, batch_size=2)
+    out_u = str(tmp_path / "from_uevt.uevt")
+    out_r = str(tmp_path / "from_root.uevt")
+    runner.run(inp, out_u, plane=2)
+    runner.run(rootin, out_r, plane=2)
+
+    ru, rr = EventFileReader(out_u), EventFileReader(out_r)
+    assert len(rr) == 3
+    for e in range(3):
+        assert ru.rse(e) == rr.rse(e)
+        su = ru.read_entry(e)["uburn_plane2"]
+        sr = rr.read_entry(e)["uburn_plane2"]
+        for a, b in zip(su, sr):
+            np.testing.assert_allclose(a.pixels, b.pixels, atol=1e-5)

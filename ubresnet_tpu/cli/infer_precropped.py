@@ -50,7 +50,7 @@ def load_model_and_variables(args):
 
 def build_parser():
     ap = argparse.ArgumentParser(description="Score precropped event images")
-    ap.add_argument("-i", "--input", required=True, help="input UEVT file")
+    ap.add_argument("-i", "--input", required=True, help="input event file (.uevt or larcv .root)")
     ap.add_argument("-o", "--output", required=True,
                     help="output file (.uevt, or .root for larcv write-back)")
     ap.add_argument("-c", "--checkpoint", required=True,

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ubresnet_tpu.data.meta import Image2D
-from ubresnet_tpu.data.uevt import EventFileReader, EventFileWriter
+from ubresnet_tpu.data.uevt import EventFileWriter
 
 
 class PrecroppedRunner:
@@ -127,7 +127,11 @@ class PrecroppedRunner:
             [("total", 0.0), ("read", 0.0), ("forward", 0.0), ("write", 0.0)]
         )
         t_total = time.time()
-        reader = EventFileReader(input_file)
+        # .uevt or larcv .root input, sniffed by magic — the reference
+        # deploy reads larcv ROOT directly (run_ubresnet_precropped.py:83-84)
+        from ubresnet_tpu.data.rootio import open_event_file
+
+        reader = open_event_file(input_file)
         if output_file.endswith(".root"):
             # write-back path: scores flow to larcv consumers (reference
             # IOManager(kWRITE), run_ubresnet_precropped.py:93-95)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ubresnet_tpu.data.meta import Image2D
-from ubresnet_tpu.data.uevt import EventFileReader, EventFileWriter
+from ubresnet_tpu.data.uevt import EventFileWriter
 from ubresnet_tpu.ops.tiling import extract_tiles, stitch_tiles, tile_grid
 
 
@@ -230,7 +230,9 @@ class WholeViewRunner:
             [("total", 0.0), ("read", 0.0), ("splitscore", 0.0), ("write", 0.0)]
         )
         t_total = time.time()
-        reader = EventFileReader(input_file)
+        from ubresnet_tpu.data.rootio import open_event_file
+
+        reader = open_event_file(input_file)
         writer = EventFileWriter(output_file)
         n = len(reader) if n_entries is None else min(n_entries, len(reader))
 
