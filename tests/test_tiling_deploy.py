@@ -208,3 +208,58 @@ def test_precropped_runner_root_input(tmp_path, tiny_model):
         sr = rr.read_entry(e)["uburn_plane2"]
         for a, b in zip(su, sr):
             np.testing.assert_allclose(a.pixels, b.pixels, atol=1e-5)
+
+
+def test_wholeview_spatial_matches_unsharded(tmp_path, tiny_model):
+    """Spatial mode (VERDICT round-3 item 9): one row-sharded forward
+    over the 8-device virtual mesh == the same whole-plane forward on
+    a single device — pins GSPMD's conv halo exchange at deploy
+    shapes — and sanity vs the stitched path."""
+    import jax
+    from jax.sharding import Mesh
+
+    model, variables = tiny_model
+    mesh = Mesh(np.array(jax.devices()[:8]), ("devices",))
+    img = np.random.RandomState(3).rand(100, 192).astype(np.float32) * 5
+    img[img < 4.0] = 0.0  # sparse-ish like real ADC
+
+    sp_runner = WholeViewRunner(model, variables, tile_rows=64,
+                                tile_cols=64, crop_batch=4,
+                                spatial_mesh=mesh)
+    got = sp_runner.score_image(img)
+    assert got.shape == (100, 192, 3)
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-4)
+
+    # unsharded reference through the same pad->apply->slice math
+    pad = jnp.pad(jnp.asarray(img), ((0, 28), (0, 0)))[None, ..., None]
+    ref = np.asarray(
+        jnp.exp(model.apply(variables, pad))[0, :100, :192, :]
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=2e-3)
+    # (no numeric comparison against the stitched path: crop borders
+    # see different receptive fields, and a random-init model saturates
+    # log-softmax, so seam pixels legitimately flip class — the
+    # sharded-vs-unsharded check above already pins the geometry)
+
+
+def test_wholeview_spatial_runner_end_to_end(tmp_path, tiny_model):
+    """runner.run with spatial_mesh: whole planes resident across the
+    mesh, outputs carry the same producers/meta/rse as stitched mode."""
+    import jax
+    from jax.sharding import Mesh
+
+    model, variables = tiny_model
+    mesh = Mesh(np.array(jax.devices()[:8]), ("devices",))
+    inp = make_synthetic_file(str(tmp_path / "wv.uevt"), n_events=2,
+                              hw=(100, 192))
+    out = str(tmp_path / "wvout.uevt")
+    runner = WholeViewRunner(model, variables, spatial_mesh=mesh)
+    runner.run(inp, out, producer="wire")
+    r = EventFileReader(out)
+    assert len(r) == 2
+    scores = r.read_entry(0)["ubsnet_plane2"]
+    assert len(scores) == 3
+    assert scores[0].pixels.shape == (100, 192)
+    np.testing.assert_allclose(sum(s.pixels for s in scores), 1.0,
+                               atol=1e-4)
+    assert scores[0].rse == EventFileReader(inp).rse(0)

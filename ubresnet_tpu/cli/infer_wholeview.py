@@ -36,11 +36,22 @@ def main(argv=None):
     ap.add_argument("--passthrough", action="store_true",
                     help="copy input event content to the output file "
                          "(IOManager kBOTH mode)")
+    ap.add_argument("--spatial", action="store_true",
+                    help="score each whole plane in ONE row-sharded "
+                         "forward over all devices (GSPMD halo "
+                         "exchange) instead of crop-and-stitch")
     args = ap.parse_args(argv)
 
     from ubresnet_tpu.deploy import WholeViewRunner
 
     model, variables = load_model_and_variables(args)
+    spatial_mesh = None
+    if args.spatial:
+        import jax
+        from jax.sharding import Mesh
+        import numpy as np
+
+        spatial_mesh = Mesh(np.array(jax.devices()), ("devices",))
     runner = WholeViewRunner(
         model,
         variables,
@@ -49,6 +60,7 @@ def main(argv=None):
         min_overlap_rows=args.overlap_rows,
         min_overlap_cols=args.overlap_cols,
         crop_batch=args.crop_batch,
+        spatial_mesh=spatial_mesh,
     )
     timing = runner.run(
         args.input,

@@ -46,6 +46,7 @@ class WholeViewRunner:
         sparse_bucket: int = 8192,
         covered_z_width: int = 310,
         det_half_height_cm: Optional[float] = None,
+        spatial_mesh=None,
     ):
         self.model = model
         self.variables = variables
@@ -58,6 +59,12 @@ class WholeViewRunner:
         self.sparse_bucket = sparse_bucket
         self.covered_z_width = covered_z_width
         self.det_half_height_cm = det_half_height_cm
+        # spatial_mesh: a jax.sharding.Mesh → score whole planes in ONE
+        # forward with rows sharded over the mesh (GSPMD halo exchange)
+        # instead of crop-and-stitch — the deploy-side CP analog
+        # (SURVEY.md §5.7b; replaces the reference's only option,
+        # UBSplitDetector+Stitcher crops, run_ubresnet_wholeview.py:199-287)
+        self.spatial_mesh = spatial_mesh
         self._cap = 0
         self._compiled = {}
 
@@ -113,6 +120,47 @@ class WholeViewRunner:
         self._compiled[key] = (run, grid)
         return self._compiled[key]
 
+    # UResNet downsamples by 2^5 (stem pool + four stride-2 encoders);
+    # whole-plane spatial mode pads to this so the static decoder
+    # output_size math round-trips at any view size (1008 -> 1024).
+    SPATIAL_DIVISOR = 32
+
+    def _spatial_pipeline(self, hw: Tuple[int, int], cap: int = 0):
+        """Jitted whole-plane forward with rows sharded over
+        ``spatial_mesh`` — pad to the stride multiple, one model.apply
+        (GSPMD halo-exchanges the conv windows across row cuts), slice
+        back. Cached per (hw, cap)."""
+        key = ("spatial", hw, cap)
+        if key in self._compiled:
+            return self._compiled[key]
+        from ubresnet_tpu.parallel import plane_sharding
+
+        sh = plane_sharding(self.spatial_mesh)
+        pad_r = (-hw[0]) % self.SPATIAL_DIVISOR
+        pad_c = (-hw[1]) % self.SPATIAL_DIVISOR
+
+        def body(variables, image):  # (h, w) f32 dense
+            img4 = jnp.pad(image, ((0, pad_r), (0, pad_c)))[None, ..., None]
+            img4 = jax.lax.with_sharding_constraint(img4, sh)
+            probs = jnp.exp(self.model.apply(variables, img4))
+            return probs[0, : hw[0], : hw[1], :]
+
+        if cap:
+            from ubresnet_tpu.ops.sparse import densify
+
+            @jax.jit
+            def run(variables, idx, val):
+                return body(variables, densify(idx, val, hw)[0, ..., 0])
+
+        else:
+
+            @jax.jit
+            def run(variables, image):
+                return body(variables, image)
+
+        self._compiled[key] = (run, None)
+        return self._compiled[key]
+
     def make_bboxes(
         self,
         image: np.ndarray,
@@ -154,8 +202,16 @@ class WholeViewRunner:
         one plane; returns the device array. JAX dispatch is async, so
         callers can enqueue several planes and read them back in order
         — the D2H of plane k then overlaps the compute of plane k+1
-        (same one-deep-pipeline idea as deploy/precropped.py)."""
+        (same one-deep-pipeline idea as deploy/precropped.py).
+
+        With ``spatial_mesh`` set, the plane is scored in one
+        row-sharded forward instead of crop-and-stitch (``grid`` is
+        then ignored — there are no crops)."""
+        spatial = self.spatial_mesh is not None
         if not self.sparse:
+            if spatial:
+                run, _ = self._spatial_pipeline(image.shape[:2])
+                return run(self.variables, jnp.asarray(image, jnp.float32))
             run, _ = self._pipeline(image.shape[:2], grid=grid)
             return run(self.variables, jnp.asarray(image, jnp.float32)[..., None])
         from ubresnet_tpu.ops.sparse import sparsify
@@ -167,7 +223,10 @@ class WholeViewRunner:
             pad = self._cap - k
             sp["indices"] = np.pad(sp["indices"], ((0, 0), (0, pad)))
             sp["values"] = np.pad(sp["values"], ((0, 0), (0, pad)))
-        run, _ = self._pipeline(image.shape[:2], cap=self._cap, grid=grid)
+        if spatial:
+            run, _ = self._spatial_pipeline(image.shape[:2], cap=self._cap)
+        else:
+            run, _ = self._pipeline(image.shape[:2], cap=self._cap, grid=grid)
         return run(
             self.variables,
             jax.device_put(sp["indices"]),

@@ -107,3 +107,11 @@ def spatial_sharding(mesh: Mesh):
     model — GSPMD halo-exchanges conv windows across the row cuts.
     Used for whole-plane (3456x1008) device-resident inference."""
     return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None, None))
+
+
+def plane_sharding(mesh: Mesh):
+    """Sharding for ONE whole plane (1, h, w, c): rows split over every
+    mesh device. The deploy-side context-parallel analog (SURVEY.md
+    §5.7b): a single 1008x3456 view stays resident across the mesh and
+    GSPMD inserts the conv halo exchanges — no crop-and-stitch."""
+    return NamedSharding(mesh, P(None, tuple(mesh.axis_names), None, None))
