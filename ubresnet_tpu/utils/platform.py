@@ -24,7 +24,14 @@ def probe_backend(timeout: float = 45.0) -> dict:
     ``error`` says why.
     """
     code = (
-        "import jax, sys\n"
+        # honor UBTPU_PLATFORM like apply_platform_env — the axon TPU
+        # plugin overrides the JAX_PLATFORMS env var, so CPU smoke runs
+        # need the jax.config route inside the probe too
+        "import os, sys\n"
+        "import jax\n"
+        "plat = os.environ.get('UBTPU_PLATFORM')\n"
+        "if plat:\n"
+        "    jax.config.update('jax_platforms', plat)\n"
         "ds = jax.devices()\n"
         "sys.stdout.write('%d %s' % (len(ds), ds[0].platform))\n"
     )
