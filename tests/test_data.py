@@ -180,3 +180,32 @@ def test_uevt_uint16_dtype(tmp_path, rng):
     if native.native_available():
         nat = native.NativeEventFile(path).read_image(0, "wire")
         np.testing.assert_array_equal(nat.pixels, arr.astype(np.float32))
+
+
+def test_loader_reads_root_directly(tmp_path):
+    """SegmentDataset on a larcv .root file — the reference trains
+    straight from ROOT (training/ubresnet_train.cfg:6 InputFiles); no
+    conversion step required here either. Samples must match the same
+    events loaded from .uevt."""
+    import pytest
+
+    from ubresnet_tpu.cli.convert import main as convert_main
+    from ubresnet_tpu.data import make_synthetic_file
+    from ubresnet_tpu.data.loader import SegmentDataset
+    from ubresnet_tpu.data.rootio import native_available
+
+    if not native_available():
+        pytest.skip("native rootio unavailable")
+    uevt = make_synthetic_file(str(tmp_path / "t.uevt"), n_events=4,
+                               hw=(64, 64))
+    root = str(tmp_path / "t.root")
+    assert convert_main(["--to-root", uevt, root]) == 0
+
+    du = SegmentDataset(uevt, weight_producer="weight", plane=2)
+    dr = SegmentDataset(root, weight_producer="weight", plane=2)
+    assert len(dr) == len(du) == 4
+    for i in range(4):
+        su, sr = du.get(i), dr.get(i)
+        np.testing.assert_array_equal(su["image"], sr["image"])
+        np.testing.assert_array_equal(su["label"], sr["label"])
+        np.testing.assert_array_equal(su["weight"], sr["weight"])

@@ -44,7 +44,8 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ubresnet_tpu.data.meta import Image2D
-    from ubresnet_tpu.data.uevt import EventFileReader, EventFileWriter
+    from ubresnet_tpu.data.rootio import open_event_file
+    from ubresnet_tpu.data.uevt import EventFileWriter
     from ubresnet_tpu.models.ssnet2018 import ssnet2018_prototxt
     from ubresnet_tpu.parity.caffe import CaffeNet, parse_caffemodel
 
@@ -66,7 +67,7 @@ def main(argv=None):
         [("total", 0.0), ("read", 0.0), ("forward", 0.0), ("write", 0.0)]
     )
     t_total = time.time()
-    reader = EventFileReader(args.input)
+    reader = open_event_file(args.input)
     writer = EventFileWriter(args.output)
     n = len(reader) if args.nevents is None else min(args.nevents, len(reader))
     fwd_cache = {}

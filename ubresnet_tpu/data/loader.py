@@ -23,7 +23,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Union
 import numpy as np
 
 from ubresnet_tpu.data.augment import remap_labels
-from ubresnet_tpu.data.uevt import EventFileReader
+from ubresnet_tpu.data.uevt import EventFileReader  # noqa: F401 (re-export)
 
 
 class SegmentDataset:
@@ -47,9 +47,15 @@ class SegmentDataset:
     ):
         if isinstance(paths, str):
             paths = [paths]
+        # .uevt or larcv .root, sniffed by magic — the reference
+        # trains straight from larcv ROOT files
+        # (training/ubresnet_train.cfg:6, InputFiles); no conversion
+        # step is required here either.
+        from ubresnet_tpu.data.rootio import open_event_file
+
         self._entries: List = []
         for p in paths:
-            r = EventFileReader(p)
+            r = open_event_file(p)
             self._entries.extend((r, i) for i in range(len(r)))
         if not self._entries:
             raise ValueError(f"no entries in {paths}")

@@ -11,7 +11,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ubresnet_tpu.data.uevt import EventFileReader
+from ubresnet_tpu.data.rootio import open_event_file
 
 
 def score_diff(
@@ -58,8 +58,8 @@ def compare_score_files(
     101-121)."""
     from ubresnet_tpu.parity.align import align_entries
 
-    ra, rb = EventFileReader(file_a), EventFileReader(file_b)
-    radc = EventFileReader(adc_file) if adc_file else None
+    ra, rb = open_event_file(file_a), open_event_file(file_b)
+    radc = open_event_file(adc_file) if adc_file else None
     # pair by (run,subrun,event), not by file position (reference rse
     # discipline, deploy/run_ubresnet_precropped.py:163-168); the ADC
     # file is aligned to file A the same way

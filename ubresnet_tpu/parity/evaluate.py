@@ -13,7 +13,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from ubresnet_tpu.data.uevt import EventFileReader
+from ubresnet_tpu.data.rootio import open_event_file
 
 
 def evaluate_entry(
@@ -65,8 +65,8 @@ def evaluate_files(
     over entries, the ana/ 'standard test sample' evaluation)."""
     from ubresnet_tpu.parity.align import align_entries
 
-    rs = EventFileReader(score_file)
-    rt = EventFileReader(truth_file)
+    rs = open_event_file(score_file)
+    rt = open_event_file(truth_file)
     # pair score and truth entries by (run,subrun,event), not by file
     # position (reference rse discipline,
     # deploy/run_ubresnet_precropped.py:163-168)
