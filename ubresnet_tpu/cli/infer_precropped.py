@@ -69,6 +69,9 @@ def build_parser():
         help="ship f16 / K-1 class scores off-device (3x fewer D2H "
         "bytes, ~5e-4 quantisation on written scores)",
     )
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="wrap the run in a jax.profiler trace "
+                         "(TensorBoard profile plugin)")
     return ap
 
 
@@ -86,14 +89,22 @@ def main(argv=None):
         batch_size=args.batchsize,
         compact_readback=args.compact_readback,
     )
-    timing = runner.run(
-        args.input,
-        args.output,
-        plane=args.plane,
-        producer=args.producer,
-        n_entries=args.nevents,
-        verbose=args.verbose,
-    )
+    import contextlib
+
+    ctx = contextlib.nullcontext()
+    if args.trace:
+        from ubresnet_tpu.utils.profiling import trace
+
+        ctx = trace(args.trace)
+    with ctx:
+        timing = runner.run(
+            args.input,
+            args.output,
+            plane=args.plane,
+            producer=args.producer,
+            n_entries=args.nevents,
+            verbose=args.verbose,
+        )
     print(json.dumps(timing))
     return 0
 

@@ -65,6 +65,11 @@ def main(argv=None):
                     help="dump one batch as ADC/label/weight PNGs and exit "
                          "(the reference's debug fixture, "
                          "train_ubresnet2018_wlarcv2.py:188-207)")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="wrap training in a jax.profiler trace written "
+                         "here (TensorBoard profile plugin; the "
+                         "reference's RUNPROFILER block, "
+                         "train_ubresnet2018_wlarcv2.py:51,209)")
     args = ap.parse_args(argv)
 
     cfg = apply_overrides(TrainConfig.load(args.config), args.overrides)
@@ -94,7 +99,13 @@ def main(argv=None):
         return 0
     from ubresnet_tpu.train.trainer import train
 
-    summary = train(cfg)
+    if args.trace:
+        from ubresnet_tpu.utils.profiling import trace
+
+        with trace(args.trace):
+            summary = train(cfg)
+    else:
+        summary = train(cfg)
     print(json.dumps({k: v for k, v in summary.items() if k != "error"}, indent=2))
     return 1 if "error" in summary else 0
 
