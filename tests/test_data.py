@@ -209,3 +209,39 @@ def test_loader_reads_root_directly(tmp_path):
         np.testing.assert_array_equal(su["image"], sr["image"])
         np.testing.assert_array_equal(su["label"], sr["label"])
         np.testing.assert_array_equal(su["weight"], sr["weight"])
+
+
+def test_uevt_f16_roundtrip(tmp_path, rng):
+    """float16 image storage (dtype 3, deploy --f16-scores): exact
+    roundtrip through the Python reader AND the native C++ filler's
+    half->float decode, including subnormals and signed zeros."""
+    import pytest
+
+    from ubresnet_tpu.data import native
+    from ubresnet_tpu.data.meta import Image2D, ImageMeta
+    from ubresnet_tpu.data.uevt import EventFileReader, EventFileWriter
+
+    # every interesting half pattern: uniform [0,1] scores, subnormals,
+    # +-0, exact powers, values needing round-to-even
+    vals = np.concatenate([
+        rng.rand(250).astype(np.float16),
+        np.array([0.0, -0.0, 6e-8, -6e-8, 5.96e-8, 65504.0, -65504.0,
+                  1.0, -1.0, 0.333251953125, 2.0 ** -14, 2.0 ** -24],
+                 np.float16),
+    ]).astype(np.float16)
+    px = np.resize(vals, (16, 17)).astype(np.float16)
+    path = str(tmp_path / "h.uevt")
+    with EventFileWriter(path) as w:
+        w.append("score", Image2D(px, ImageMeta(0, 0, 8.5, 8, 16, 17, 2)))
+        w.set_id(1, 2, 3)
+        w.save_entry()
+
+    r = EventFileReader(path)
+    got = r.read_entry(0)["score"][0].pixels
+    assert got.dtype == np.float16
+    np.testing.assert_array_equal(got, px)
+
+    if not native.native_available():
+        pytest.skip("no native toolchain")
+    img = native.NativeEventFile(path).read_image(0, "score")
+    np.testing.assert_array_equal(img.pixels, px.astype(np.float32))

@@ -263,3 +263,25 @@ def test_wholeview_spatial_runner_end_to_end(tmp_path, tiny_model):
     np.testing.assert_allclose(sum(s.pixels for s in scores), 1.0,
                                atol=1e-4)
     assert scores[0].rse == EventFileReader(inp).rse(0)
+
+
+def test_precropped_runner_f16_scores(tmp_path, tiny_model):
+    """--f16-scores: half the written bytes, probabilities within the
+    f16 quantum of the f32 run; .root outputs unaffected (f32)."""
+    model, variables = tiny_model
+    inp = make_synthetic_file(str(tmp_path / "in.uevt"), n_events=3,
+                              hw=(64, 64))
+    r32 = PrecroppedRunner(model, variables, batch_size=2)
+    r16 = PrecroppedRunner(model, variables, batch_size=2,
+                           score_dtype=np.float16)
+    out32, out16 = str(tmp_path / "s32.uevt"), str(tmp_path / "s16.uevt")
+    r32.run(inp, out32, plane=2)
+    r16.run(inp, out16, plane=2)
+    import os
+    assert os.path.getsize(out16) < 0.6 * os.path.getsize(out32)
+    a = EventFileReader(out32).read_entry(0)["uburn_plane2"]
+    b = EventFileReader(out16).read_entry(0)["uburn_plane2"]
+    for ia, ib in zip(a, b):
+        assert ib.pixels.dtype == np.float16
+        np.testing.assert_allclose(ib.pixels.astype(np.float32),
+                                   ia.pixels, atol=5e-4)

@@ -72,6 +72,10 @@ def build_parser():
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="wrap the run in a jax.profiler trace "
                          "(TensorBoard profile plugin)")
+    ap.add_argument("--f16-scores", action="store_true",
+                    help="store score images as float16 in .uevt "
+                         "outputs (half the bytes, ~5e-4 quantisation; "
+                         ".root outputs stay f32)")
     return ap
 
 
@@ -83,11 +87,14 @@ def main(argv=None):
     from ubresnet_tpu.deploy import PrecroppedRunner
 
     model, variables = load_model_and_variables(args)
+    import numpy as np
+
     runner = PrecroppedRunner(
         model,
         variables,
         batch_size=args.batchsize,
         compact_readback=args.compact_readback,
+        score_dtype=np.float16 if args.f16_scores else np.float32,
     )
     import contextlib
 

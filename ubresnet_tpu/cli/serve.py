@@ -40,6 +40,9 @@ def build_parser():
                     help="process the current backlog, then exit")
     ap.add_argument("--root-out", action="store_true",
                     help="write .root (larcv write-back) outputs")
+    ap.add_argument("--f16-scores", action="store_true",
+                    help="store score images as float16 in .uevt "
+                         "outputs (half the bytes)")
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("-v", "--verbose", action="store_true")
     return ap
@@ -59,8 +62,13 @@ def main(argv=None) -> int:
 
     apply_platform_env()
     os.makedirs(args.out_dir, exist_ok=True)
+    import numpy as np
+
     model, variables = load_model_and_variables(args)
-    runner = PrecroppedRunner(model, variables, batch_size=args.batchsize)
+    runner = PrecroppedRunner(
+        model, variables, batch_size=args.batchsize,
+        score_dtype=np.float16 if args.f16_scores else np.float32,
+    )
 
     stop = {"flag": False}
 

@@ -48,7 +48,37 @@ struct IdxEntry {
 };
 #pragma pack(pop)
 
-size_t dtype_size(uint32_t dt) { return dt == 1 ? 2 : 4; }
+size_t dtype_size(uint32_t dt) { return (dt == 1 || dt == 3) ? 2 : 4; }
+
+// IEEE binary16 -> binary32 (dtype 3; scores written with
+// --f16-scores). Handles subnormals/inf/nan; exactness pinned by
+// tests/test_native.py against numpy's float16 cast.
+float half_to_float(uint16_t v) {
+  uint32_t sign = (uint32_t)(v >> 15) << 31;
+  uint32_t exp = (v >> 10) & 0x1f;
+  uint32_t man = v & 0x3ff;
+  uint32_t f;
+  if (exp == 0) {
+    if (man == 0) {
+      f = sign;  // +-0
+    } else {
+      int e = 0;  // subnormal: value = man/2^10 * 2^-14
+      while (!(man & 0x400)) {
+        man <<= 1;
+        e++;
+      }
+      man &= 0x3ff;
+      f = sign | ((uint32_t)(127 - 14 - e) << 23) | (man << 13);
+    }
+  } else if (exp == 31) {
+    f = sign | 0x7f800000u | (man << 13);  // inf/nan
+  } else {
+    f = sign | ((exp - 15 + 127) << 23) | (man << 13);
+  }
+  float out;
+  memcpy(&out, &f, 4);
+  return out;
+}
 
 struct File {
   int fd = -1;
@@ -110,6 +140,9 @@ void decode_f32(const ImgHdr &h, const uint8_t *payload, float *dst) {
   } else if (h.dtype == 1) {
     const uint16_t *s = (const uint16_t *)payload;
     for (size_t i = 0; i < n; i++) dst[i] = (float)s[i];
+  } else if (h.dtype == 3) {
+    const uint16_t *s = (const uint16_t *)payload;
+    for (size_t i = 0; i < n; i++) dst[i] = half_to_float(s[i]);
   } else {
     const int32_t *s = (const int32_t *)payload;
     for (size_t i = 0; i < n; i++) dst[i] = (float)s[i];
@@ -122,6 +155,9 @@ void decode_i32(const ImgHdr &h, const uint8_t *payload, int32_t *dst) {
   } else if (h.dtype == 1) {
     const uint16_t *s = (const uint16_t *)payload;
     for (size_t i = 0; i < n; i++) dst[i] = (int32_t)s[i];
+  } else if (h.dtype == 3) {
+    const uint16_t *s = (const uint16_t *)payload;
+    for (size_t i = 0; i < n; i++) dst[i] = (int32_t)half_to_float(s[i]);
   } else {
     const float *s = (const float *)payload;
     for (size_t i = 0; i < n; i++) dst[i] = (int32_t)s[i];

@@ -33,7 +33,9 @@ _HEADER = struct.Struct("<4sIQQ")
 _IMG_HDR = struct.Struct("<32sIIII ddddIII".replace(" ", ""))
 _IDX = struct.Struct("<QQIII")
 
-_DTYPES = {0: np.float32, 1: np.uint16, 2: np.int32}
+# 3 (f16) halves score-image bytes; probabilities lose ~5e-4 like
+# the compact D2H path (deploy --f16-scores)
+_DTYPES = {0: np.float32, 1: np.uint16, 2: np.int32, 3: np.float16}
 _DTYPE_IDS = {np.dtype(v): k for k, v in _DTYPES.items()}
 
 

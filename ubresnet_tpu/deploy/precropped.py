@@ -35,6 +35,7 @@ class PrecroppedRunner:
         sparse: bool = True,
         sparse_bucket: int = 4096,
         compact_readback: bool = False,
+        score_dtype=np.float32,
     ):
         self.model = model
         self.variables = variables
@@ -43,6 +44,10 @@ class PrecroppedRunner:
         self.sparse = sparse
         self.sparse_bucket = sparse_bucket
         self.compact = compact_readback
+        # np.float16 halves written score bytes (~5e-4 quantisation on
+        # probabilities, same loss as the compact D2H form); the .root
+        # writer path always stores f32 (larcv Image2D is float)
+        self.score_dtype = np.dtype(score_dtype)
         self._cap = 0
 
         def _post(probs):
@@ -178,13 +183,16 @@ class PrecroppedRunner:
             scores = self._fetch(dev[: len(images)])
             timing["forward"] += time.time() - t0
             t0 = time.time()
+            out_dt = self.score_dtype
+            if not isinstance(writer, EventFileWriter):
+                out_dt = np.dtype(np.float32)  # larcv Image2D is float
             for img, score in zip(images, scores):
                 writer.set_id(*img.rse)
                 for c in range(score.shape[-1]):
                     writer.append(
                         out_producer,
                         Image2D(
-                            score[..., c].astype(np.float32),
+                            score[..., c].astype(out_dt),
                             img.meta,
                             *img.rse,
                         ),
