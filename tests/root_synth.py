@@ -166,6 +166,31 @@ def _zstd_compress(data: bytes) -> bytes:
     return buf.raw[:n]
 
 
+_lz4 = None
+
+
+def _lz4_lib():
+    global _lz4
+    if _lz4 is None:
+        # runtime lib only on this image (no dev symlink) — stable ABI
+        lib = ctypes.CDLL("liblz4.so.1")
+        lib.LZ4_compress_default.restype = ctypes.c_int
+        lib.LZ4_compress_default.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ]
+        _lz4 = lib
+    return _lz4
+
+
+def _lz4_compress(data: bytes) -> bytes:
+    lib = _lz4_lib()
+    cap = len(data) + len(data) // 255 + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.LZ4_compress_default(data, buf, len(data), cap)
+    assert n > 0, "LZ4_compress_default failed"
+    return buf.raw[:n]
+
+
 def compress_payload(data: bytes, algo: str, frame_size: int = 1 << 23) -> bytes:
     """ROOT compression framing: 9-byte header per frame."""
     if algo == "none":
@@ -177,6 +202,15 @@ def compress_payload(data: bytes, algo: str, frame_size: int = 1 << 23) -> bytes
             tag, comp = b"ZL", zlib.compress(chunk, 6)
         elif algo == "zstd":
             tag, comp = b"ZS", _zstd_compress(chunk)
+        elif algo == "lz4":
+            # ROOT R__zipLZ4 layout: XXH64 of the lz4 block (8 bytes,
+            # the reader skips it) + the raw LZ4 block
+            tag, comp = b"L4", b"\x00" * 8 + _lz4_compress(chunk)
+        elif algo == "lzma":
+            import lzma
+
+            tag, comp = b"XZ", lzma.compress(chunk,
+                                             format=lzma.FORMAT_XZ)
         else:
             raise ValueError(algo)
         out += (

@@ -82,7 +82,7 @@ def test_streamer_layout_variants(tmp_path, intw, img_first, nested, tobj):
     _read_all(path, truth)
 
 
-@pytest.mark.parametrize("comp", ["none", "zlib", "zstd"])
+@pytest.mark.parametrize("comp", ["none", "zlib", "zstd", "lz4", "lzma"])
 def test_compression(tmp_path, comp):
     path = str(tmp_path / "c.root")
     truth = write_larcv_like(path, compression=comp, n_entries=4)

@@ -28,8 +28,9 @@
 //     sequentially, which is how larcv IOManager writes them).
 //   * Compressed payloads: sequence of 9-byte-headed frames
 //     {algo[2], method u8, compressed u24le, uncompressed u24le}.
-//     "ZL"/"CS" → zlib, "ZS" → zstd. "L4"/"XZ" are reported as
-//     unsupported (no lz4/lzma in this toolchain).
+//     "ZL"/"CS" → zlib, "ZS" → zstd, "L4" → lz4 (ROOT's default
+//     since 6.14; 8-byte XXH64 prefix skipped, exact-size check
+//     rejects corruption), "XZ" → lzma (.xz stream).
 //   * Per-entry boundaries inside a basket: data bytes run to
 //     border = fLast - fKeylen; when fObjlen > border an offset table
 //     {i32 n, n × i32 absolute positions incl. fKeylen} follows
@@ -75,6 +76,8 @@
 #include <unistd.h>
 #include <vector>
 
+#include <dlfcn.h>
+#include <lzma.h>
 #include <zlib.h>
 #include <zstd.h>
 
@@ -259,6 +262,19 @@ struct RFile {
 
 // --------------------------------------------------------- decompression
 
+// LZ4 via dlopen: this image ships liblz4.so.1 (runtime) but no dev
+// header/symlink, and LZ4_decompress_safe has a stable C ABI.
+typedef int (*lz4_decompress_safe_fn)(const char *, char *, int, int);
+lz4_decompress_safe_fn lz4_decompress_safe() {
+  static lz4_decompress_safe_fn fn = []() -> lz4_decompress_safe_fn {
+    void *h = dlopen("liblz4.so.1", RTLD_NOW);
+    if (!h) h = dlopen("liblz4.so", RTLD_NOW);
+    if (!h) return nullptr;
+    return (lz4_decompress_safe_fn)dlsym(h, "LZ4_decompress_safe");
+  }();
+  return fn;
+}
+
 bool decompress_payload(const uint8_t *src, size_t srclen, size_t objlen,
                         std::vector<uint8_t> &out, std::string &err) {
   if (srclen == objlen) {  // stored uncompressed
@@ -297,9 +313,41 @@ bool decompress_payload(const uint8_t *src, size_t srclen, size_t objlen,
               (ZSTD_isError(rc) ? ZSTD_getErrorName(rc) : "short output");
         return false;
       }
+    } else if (a0 == 'L' && a1 == '4') {
+      // ROOT R__zipLZ4 layout: 8-byte XXH64 of the compressed block,
+      // then the raw LZ4 block. The checksum is skipped here (no
+      // public xxhash in this toolchain); LZ4_decompress_safe plus
+      // the exact-output-size check still rejects corrupt frames.
+      lz4_decompress_safe_fn lz4 = lz4_decompress_safe();
+      if (!lz4) {
+        err = "lz4 frame but liblz4.so.1 not loadable";
+        return false;
+      }
+      if (csize < 8) {
+        err = "lz4 frame shorter than its checksum prefix";
+        return false;
+      }
+      int rc = lz4(reinterpret_cast<const char *>(h + 9 + 8),
+                   reinterpret_cast<char *>(out.data() + off),
+                   int(csize - 8), int(usize));
+      if (rc < 0 || size_t(rc) != usize) {
+        err = "lz4 decompress failed (rc=" + std::to_string(rc) + ")";
+        return false;
+      }
+    } else if (a0 == 'X' && a1 == 'Z') {
+      // ROOT R__zipLZMA: the payload is one complete .xz stream
+      uint64_t memlimit = UINT64_MAX;
+      size_t in_pos = 0, out_pos = 0;
+      lzma_ret rc = lzma_stream_buffer_decode(
+          &memlimit, 0, nullptr, h + 9, &in_pos, csize,
+          out.data() + off, &out_pos, usize);
+      if (rc != LZMA_OK || out_pos != usize) {
+        err = "lzma decode failed (rc=" + std::to_string(int(rc)) + ")";
+        return false;
+      }
     } else {
       err = std::string("unsupported compression algo '") + a0 + a1 +
-            "' (supported: ZL/CS zlib, ZS zstd)";
+            "' (supported: ZL/CS zlib, ZS zstd, L4 lz4, XZ lzma)";
       return false;
     }
     pos += 9 + csize;
