@@ -317,9 +317,12 @@ def get_baselines() -> dict:
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
-    # UBTPU_BENCH_* smoke overrides change the shapes: never persist
-    # baselines measured at non-headline shapes into the cache
-    overridden = any(k.startswith("UBTPU_BENCH_") for k in os.environ)
+    # shape overrides (not FAST, which keeps headline shapes): never
+    # persist baselines measured at non-headline shapes into the cache
+    shape_vars = ("UBTPU_BENCH_HW", "UBTPU_BENCH_BATCH",
+                  "UBTPU_BENCH_ITERS", "UBTPU_BENCH_INPLANES",
+                  "UBTPU_BENCH_TRAIN_BATCH", "UBTPU_BENCH_TRAIN_ITERS")
+    overridden = any(k in os.environ for k in shape_vars)
     if overridden:
         if "torch_cpu_crops_per_sec" not in cached:
             cached["torch_cpu_crops_per_sec"] = measure_torch_baseline()
@@ -387,6 +390,19 @@ def main():
         }))
         sys.exit(0)
     log(f"backend probe ok: {probe['n_devices']} {probe['platform']} device(s)")
+    if probe["platform"] != "tpu" and not os.environ.get("UBTPU_PLATFORM"):
+        # A CPU-fallback backend must not be published as the per-chip
+        # TPU headline (e.g. the axon plugin failed to register).
+        # Explicit UBTPU_PLATFORM (smoke runs) bypasses the gate.
+        print(json.dumps({
+            "metric": "uresnet16_512x512_infer_crops_per_sec_per_chip",
+            "value": None,
+            "unit": "crops/s",
+            "vs_baseline": None,
+            "error": "tpu_unavailable",
+            "detail": f"default backend is {probe['platform']!r}, not tpu",
+        }))
+        sys.exit(0)
     tpu = measure_tpu()
     train_batches = make_train_batches()
     train = measure_tpu_train(batches=train_batches)

@@ -115,12 +115,12 @@ def test_serve_continuous_poll_root_io_and_sigterm(tmp_path, ckpt):
         cpath = str(watch / "c.uevt")
 
         def slow_write():
-            step = max(1, len(blob) // 24)
+            step = max(1, len(blob) // 40)
             with open(cpath, "wb") as f:
                 for i in range(0, len(blob), step):
                     f.write(blob[i:i + step])
                     f.flush()
-                    time.sleep(0.05)
+                    time.sleep(0.02)
 
         th = threading.Thread(target=slow_write)
         th.start()

@@ -91,8 +91,13 @@ def main(argv=None) -> int:
                 continue
             path = os.path.join(args.watch_dir, name)
             size = os.path.getsize(path)
-            if not args.once and sizes.get(name) != size:
-                sizes[name] = size  # wait one poll for a stable size
+            # require TWO consecutive stable-size polls before serving:
+            # one stable pair can be a writer merely descheduled for a
+            # poll period mid-copy
+            last, stable = sizes.get(name, (None, 0))
+            stable = stable + 1 if size == last else 0
+            sizes[name] = (size, stable)
+            if not args.once and stable < 2:
                 continue
             backlog.append((name, path, out, failed))
         for name, path, out, failed in backlog:

@@ -16,6 +16,7 @@ surface:
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Callable, Dict, List, Optional, Sequence, Union
@@ -24,6 +25,41 @@ import numpy as np
 
 from ubresnet_tpu.data.augment import remap_labels
 from ubresnet_tpu.data.uevt import EventFileReader  # noqa: F401 (re-export)
+
+
+def _root_training_cache(path: str) -> str:
+    """One-time .root → .uevt conversion for training, cached by
+    (abspath, mtime, size) under the system temp dir; concurrent
+    converters race safely via tmp-file + atomic rename."""
+    import hashlib
+    import tempfile
+
+    from ubresnet_tpu.data.rootio import root_to_uevt
+
+    st = os.stat(path)
+    key = hashlib.sha1(
+        f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    cache_dir = os.path.join(tempfile.gettempdir(), "ubtpu_root_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    cached = os.path.join(cache_dir, key + ".uevt")
+    if not os.path.exists(cached):
+        tmp = cached + f".tmp{os.getpid()}"
+        n = root_to_uevt(path, tmp)
+        os.replace(tmp, cached)
+        print(f"converted {path} -> {cached} ({n} entries, cached for "
+              "training reuse)", flush=True)
+    return cached
+
+
+def _open_training_file(path: str):
+    from ubresnet_tpu.data.rootio import RootEventReader, open_event_file
+
+    r = open_event_file(path)
+    if isinstance(r, RootEventReader):
+        r.close()
+        return EventFileReader(_root_training_cache(path))
+    return r
 
 
 class SegmentDataset:
@@ -49,13 +85,15 @@ class SegmentDataset:
             paths = [paths]
         # .uevt or larcv .root, sniffed by magic — the reference
         # trains straight from larcv ROOT files
-        # (training/ubresnet_train.cfg:6, InputFiles); no conversion
-        # step is required here either.
-        from ubresnet_tpu.data.rootio import open_event_file
-
+        # (training/ubresnet_train.cfg:6, InputFiles); no manual
+        # conversion step here either. ROOT inputs are auto-converted
+        # ONCE to a cached UEVT (shuffled multi-producer access would
+        # otherwise thrash the native reader's single-slot basket
+        # cache and serialize loader threads on its mutex; UEVT reads
+        # are lock-free mmap and feed the C++ filler).
         self._entries: List = []
         for p in paths:
-            r = open_event_file(p)
+            r = _open_training_file(p)
             self._entries.extend((r, i) for i in range(len(r)))
         if not self._entries:
             raise ValueError(f"no entries in {paths}")

@@ -143,11 +143,19 @@ class PrecroppedRunner:
             from ubresnet_tpu.data.rootio import RootWriter
 
             writer = RootWriter(output_file)
+            # RootWriter stores float32 (larcv Image2D is float);
+            # the f16 score option applies to .uevt outputs only
+            out_dt = np.dtype(np.float32)
         else:
             writer = EventFileWriter(output_file)
+            out_dt = self.score_dtype
         out_producer = out_producer or f"uburn_plane{plane}"
         n = len(reader) if n_entries is None else min(n_entries, len(reader))
 
+        # entries decoded during the sparse pre-scan are kept for the
+        # batch loop (bounded budget) so each basket/blob is decoded
+        # once, not twice — matters for compressed .root inputs
+        prefetched = {}
         if self.sparse and n:
             # pre-scan the run's max per-image occupancy so ONE sparse
             # capacity (and therefore one compiled program) serves
@@ -156,6 +164,8 @@ class PrecroppedRunner:
             t0 = time.time()
             from ubresnet_tpu.ops.sparse import round_capacity
 
+            budget = 1 << 29  # ~512 MB of cached pixels
+            cached_bytes = 0
             max_nnz = 1
             for i in range(n):
                 ev = reader.read_entry(i, producers=[producer])
@@ -167,6 +177,9 @@ class PrecroppedRunner:
                 else:
                     nnz = int((px != 0).sum())
                 max_nnz = max(max_nnz, nnz)
+                if cached_bytes < budget:
+                    prefetched[i] = sel[0]
+                    cached_bytes += px.nbytes
             self._cap = round_capacity(max_nnz, self.sparse_bucket)
             timing["read"] += time.time() - t0
 
@@ -183,9 +196,6 @@ class PrecroppedRunner:
             scores = self._fetch(dev[: len(images)])
             timing["forward"] += time.time() - t0
             t0 = time.time()
-            out_dt = self.score_dtype
-            if not isinstance(writer, EventFileWriter):
-                out_dt = np.dtype(np.float32)  # larcv Image2D is float
             for img, score in zip(images, scores):
                 writer.set_id(*img.rse)
                 for c in range(score.shape[-1]):
@@ -206,10 +216,14 @@ class PrecroppedRunner:
             t0 = time.time()
             images = []
             for i in idxs:
-                ev = reader.read_entry(i, producers=[producer])
-                imgs = ev[producer]
-                sel = [im for im in imgs if im.meta.plane == plane] or imgs
-                images.append(sel[0])
+                im = prefetched.pop(i, None)
+                if im is None:
+                    ev = reader.read_entry(i, producers=[producer])
+                    imgs = ev[producer]
+                    sel = [im for im in imgs
+                           if im.meta.plane == plane] or imgs
+                    im = sel[0]
+                images.append(im)
             batch = np.stack([im.pixels for im in images]).astype(np.float32)[
                 ..., None
             ]
