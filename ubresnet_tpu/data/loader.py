@@ -52,14 +52,20 @@ def _root_training_cache(path: str) -> str:
     return cached
 
 
-def _open_training_file(path: str):
-    from ubresnet_tpu.data.rootio import RootEventReader, open_event_file
+def training_paths(paths):
+    """Map larcv .root inputs to their cached-UEVT equivalents (magic
+    sniffed); .uevt paths pass through. Used by both loader flavors so
+    the native C++ filler serves .root-configured trainings too."""
+    out = []
+    for p in paths:
+        with open(p, "rb") as f:
+            head = f.read(4)
+        out.append(_root_training_cache(p) if head == b"root" else p)
+    return out
 
-    r = open_event_file(path)
-    if isinstance(r, RootEventReader):
-        r.close()
-        return EventFileReader(_root_training_cache(path))
-    return r
+
+def _open_training_file(path: str):
+    return EventFileReader(training_paths([path])[0])
 
 
 class SegmentDataset:

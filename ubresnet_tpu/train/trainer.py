@@ -49,8 +49,10 @@ def make_loader(dcfg: DataConfig, seed: int = 0):
             from ubresnet_tpu.data.native import NativeBatchLoader, native_available
 
             if native_available():
+                from ubresnet_tpu.data.loader import training_paths
+
                 return NativeBatchLoader(
-                    dcfg.files,
+                    training_paths(dcfg.files),
                     batch_size=dcfg.batch_size,
                     image_producer=dcfg.image_producer,
                     label_producer=dcfg.label_producer,
