@@ -72,3 +72,32 @@ def test_native_batches_match_python_content(synth):
         np.testing.assert_array_equal(
             nat.read_image(4, prod, 2).pixels, py.read_entry(4)[prod][0].pixels
         )
+
+
+def test_make_loader_serves_root_config_natively(tmp_path, synth):
+    """A DataConfig pointing at larcv .root files still gets the C++
+    pthread filler: training_paths converts once to a cached UEVT
+    (review finding: .root configs silently fell back to the Python
+    loader and, worse, thrashed the native ROOT reader's single-slot
+    basket cache)."""
+    from ubresnet_tpu.cli.convert import main as convert_main
+    from ubresnet_tpu.core.config import DataConfig
+    from ubresnet_tpu.data.rootio import native_available as root_native
+    from ubresnet_tpu.train.trainer import make_loader
+
+    if not root_native():
+        pytest.skip("native rootio unavailable")
+    root = str(tmp_path / "t.root")
+    assert convert_main(["--to-root", synth, root]) == 0
+
+    cfg = DataConfig(files=[root], batch_size=3, plane=2,
+                     weight_producer="weight")
+    loader = make_loader(cfg)
+    assert type(loader).__name__ == "NativeBatchLoader"
+    loader.start()
+    try:
+        b = loader[0]
+        assert b["image"].shape == (3, 64, 96, 1)
+        assert np.isfinite(b["image"]).all()
+    finally:
+        loader.stop()
