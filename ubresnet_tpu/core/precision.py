@@ -60,6 +60,16 @@ class Policy:
     # docs/roofline.md round-3 table) — enabling it erases the
     # stats-path win. Grad-verified; off until re-tiled.
     fused_train_deconv: bool = False
+    # int8 post-training quantization (ops/quant.py). quant_calib makes
+    # every ConvBN record its input abs-max into the 'quant' collection
+    # (run a few eval batches with mutable=['quant']); quant_eval then
+    # runs packed stride-1/2 convs as s8×s8→s32 MXU ops — double the
+    # native bf16 MXU rate — dequantizing into the BN fold. Weights are
+    # quantized per-output-channel in-graph from the f32 params, so
+    # checkpoints are unchanged and only activation scales are stored.
+    # Eval-only; the reference has no analog (its engine is f32 CUDA).
+    quant_eval: bool = False
+    quant_calib: bool = False
 
     @staticmethod
     def tpu() -> "Policy":
@@ -67,6 +77,14 @@ class Policy:
 
         return Policy(pack_width=8,
                       fused_eval=jax.default_backend() == "tpu")
+
+    @staticmethod
+    def tpu_int8() -> "Policy":
+        """Packed int8 PTQ inference: the MXU's s8×s8→s32 mode is 2x
+        the bf16 rate; whether that beats the Pallas bf16 fused-eval
+        zone end-to-end is a chip A/B (bench.py int8 section,
+        docs/roofline.md decision rules)."""
+        return Policy(pack_width=8, quant_eval=True)
 
     @staticmethod
     def f32() -> "Policy":

@@ -259,6 +259,17 @@ class ConvBN(nn.Module):
         final ReLU (common_layers.py:39-58). Fused into the Pallas conv
         epilogue on the packed eval path. ``params_only`` returns the
         conv/BN parameters for the whole-block fused kernel."""
+        if self.policy.quant_calib and not self.is_initializing():
+            # int8 PTQ calibration (ops/quant.py): running abs-max of
+            # this conv's input into the 'quant' collection. x is the
+            # same set of values packed or not (packing is a reshape).
+            qs = self.variable(
+                "quant", "act_scale", lambda: jnp.zeros((), jnp.float32)
+            )
+            qs.value = jnp.maximum(
+                qs.value,
+                jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0,
+            )
         if self.packed:
             if self.dilation != 1:
                 raise NotImplementedError("packed conv with dilation")
@@ -284,6 +295,47 @@ class ConvBN(nn.Module):
                 )
                 return kernel, cbias, scale, bbias, mean, var
             pe = _p_eff(p, ci, x.shape[2] * p)
+            if (
+                self.policy.quant_eval
+                and not train
+                and not self.is_initializing()
+            ):
+                # int8 PTQ eval (ops/quant.py): s8×s8→s32 packed conv,
+                # dequantized into the BN fold. Weights quantize
+                # in-graph from the f32 params; only the calibrated
+                # activation scale is read from the 'quant' collection.
+                if not self.has_variable("quant", "act_scale"):
+                    raise ValueError(
+                        "quant_eval=True but no calibrated 'quant' "
+                        "collection — run ubresnet_tpu.ops.quant."
+                        "calibrate() first"
+                    )
+                from ubresnet_tpu.ops.packed import packed_conv
+                from ubresnet_tpu.ops.quant import (
+                    quantize_act,
+                    quantize_weight,
+                    weight_scales,
+                )
+
+                sx = self.get_variable("quant", "act_scale")
+                kernel, cbias = conv(x, params_only=True)
+                sw = weight_scales(kernel)
+                y = packed_conv(
+                    quantize_act(x, sx),
+                    quantize_weight(kernel, sw),
+                    p,
+                    self.stride,
+                    preferred=jnp.int32,
+                )
+                y = y.astype(jnp.float32) * (sx * jnp.tile(sw, p))
+                if cbias is not None:
+                    y = y + jnp.tile(cbias.astype(jnp.float32), p)
+                y = bn(y.astype(cdt), train=False)
+                if self.act:
+                    y = nn.relu(y)
+                if residual is not None:
+                    y = nn.relu(y + residual)
+                return y
             use_fused_train = (
                 self.policy.fused_train
                 and train

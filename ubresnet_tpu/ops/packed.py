@@ -27,7 +27,7 @@ is negligible next to the conv.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -98,11 +98,16 @@ def packed_conv(
     stride: int = 1,
     q: Optional[int] = None,
     bias: Optional[jax.Array] = None,
+    preferred: Optional[Any] = None,
 ) -> jax.Array:
     """'Same'-padded (stride 1) or strided conv on a packed tensor.
 
     x: (b, h, wc, p·ci) packed; w: unpacked (kh, kw, ci, co).
     Output: (b, h', wc', p·co) packed.
+
+    ``preferred``: accumulation dtype (``preferred_element_type``) —
+    the int8 PTQ path passes ``jnp.int32`` so the MXU runs its native
+    s8×s8→s32 mode (ops/quant.py).
     """
     kh, kw, ci, co = w.shape
     if q is None:
@@ -114,6 +119,7 @@ def packed_conv(
         window_strides=(stride, stride),
         padding=[(kh // 2, kh // 2), (plo, phi)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred,
     )
     if bias is not None:
         y = y + jnp.tile(bias.astype(y.dtype), p)

@@ -1,0 +1,95 @@
+"""int8 post-training quantization (PTQ) for the packed eval path.
+
+The MXU executes s8×s8→s32 at twice its native bf16 rate, so a
+compute-bound inference graph has ~2x headroom over the bf16 zone.
+This module provides the three pieces:
+
+* per-output-channel weight quantization, computed IN-GRAPH from the
+  f32 parameters (no separate int8 checkpoint format — reference
+  checkpoints imported by deploy/importers.py quantize transparently);
+* per-conv activation scales, calibrated by running a few eval batches
+  with ``Policy.quant_calib=True`` and ``mutable=['quant']`` — each
+  ConvBN records the running abs-max of its input into the 'quant'
+  variable collection (``calibrate`` below wraps this);
+* the quantized conv itself: symmetric int8 for both operands,
+  ``packed_conv(..., preferred=int32)``, dequantized into the BN fold.
+
+The reference has no analog — its engine is f32 CUDA end-to-end
+(deploy/run_ubresnet_precropped.py:136-138); this is a TPU-native
+capability beyond parity. Eval-only: training keeps bf16/f32.
+
+Accuracy note: scales are symmetric abs-max. Activations in this
+network are non-negative (ADC inputs, post-ReLU features), so half the
+int8 range idles; the measured probability error vs f32 stays ~1e-2
+(tests/test_quant.py) because BN re-centers each layer. Percentile
+calibration is the first lever if a real-weight model ever shows more.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable
+
+import jax
+import jax.numpy as jnp
+
+INT8_MAX = 127.0
+
+
+def weight_scales(w: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Per-output-channel symmetric scales for an (kh, kw, ci, co)
+    kernel: co-vector s with w ≈ s · round(w / s)."""
+    return jnp.maximum(
+        jnp.max(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 2)), eps
+    ) / INT8_MAX
+
+
+def quantize_weight(w: jax.Array, sw: jax.Array) -> jax.Array:
+    """Round an (kh, kw, ci, co) kernel to int8 with per-co scales."""
+    return jnp.round(w.astype(jnp.float32) / sw).astype(jnp.int8)
+
+
+def quantize_act(x: jax.Array, sx: jax.Array) -> jax.Array:
+    """Symmetric int8 quantization of an activation tensor with a
+    scalar scale (clips to ±127)."""
+    return jnp.round(
+        jnp.clip(x.astype(jnp.float32) / sx, -INT8_MAX, INT8_MAX)
+    ).astype(jnp.int8)
+
+
+def calibrate(
+    model: Any,
+    variables: Dict[str, Any],
+    batches: Iterable[jax.Array],
+    **apply_kwargs: Any,
+) -> Dict[str, Any]:
+    """Run eval forwards over ``batches`` (dense NHWC images) recording
+    every ConvBN's input abs-max; returns ``variables`` with the
+    'quant' collection added. Feed the result to a model whose policy
+    has ``quant_eval=True`` (e.g. ``Policy.tpu_int8()``).
+
+    The calibration model is the same module tree with
+    ``quant_calib=True`` — scale variable paths therefore line up with
+    the quantized model's reads exactly.
+    """
+    import dataclasses
+
+    cal_pol = dataclasses.replace(
+        model.policy, quant_calib=True, quant_eval=False
+    )
+    cal_model = model.clone(policy=cal_pol)
+
+    @jax.jit
+    def step(vs, x):
+        _, mut = cal_model.apply(
+            vs, x, train=False, mutable=["quant"], **apply_kwargs
+        )
+        return mut["quant"]
+
+    quant = None
+    base = dict(variables)
+    base.pop("quant", None)
+    for x in batches:
+        vs = {**base, "quant": quant} if quant is not None else base
+        quant = step(vs, jnp.asarray(x))
+    if quant is None:
+        raise ValueError("calibrate() needs at least one batch")
+    return {**base, "quant": jax.device_get(quant)}
