@@ -22,8 +22,10 @@ stdout carries exactly one JSON line; progress goes to stderr.
 """
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import signal
 import sys
 import time
 
@@ -50,6 +52,32 @@ TRAIN_ITERS = _env_int("UBTPU_BENCH_TRAIN_ITERS", 12)
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+@contextlib.contextmanager
+def section_timeout(seconds):
+    """Convert a hang (e.g. the axon tunnel dying mid-readback) into a
+    TimeoutError so one wedged section can't erase the whole JSON line
+    — round-3's failure mode was a silent rc=124 with nothing printed.
+    SIGALRM is safe here: bench runs sections sequentially on the main
+    thread."""
+
+    def _raise(signum, frame):
+        raise TimeoutError(f"bench section exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(int(seconds))
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+# Per-section wall budget. Generous vs observed TPU timings (compile
+# ~40s + measure <30s per section) but small enough that all sections
+# plus probes fit a driver timeout with room to print.
+SECTION_TIMEOUT_S = _env_int("UBTPU_BENCH_SECTION_TIMEOUT", 420)
 
 
 def make_batches(n=4):
@@ -250,6 +278,128 @@ def measure_deploy_cli() -> dict:
             "timing": {k: round(v, 4) for k, v in timing.items()}}
 
 
+def measure_wholeview() -> dict:
+    """Wholeview deploy A/B at the reference plane shape (1008x3456,
+    512x832 tiles, run_ubresnet_wholeview.py:38-44): crop-and-stitch
+    vs the spatial whole-plane forward (one pass, no overlap
+    redundancy — ~1.4x fewer FLOPs at CoveredZWidth-style overlaps).
+    Another queued TPU decision recorded by the driver's end-of-round
+    bench run."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from ubresnet_tpu.core.precision import Policy
+    from ubresnet_tpu.data.synthetic import synth_event
+    from ubresnet_tpu.deploy.wholeview import WholeViewRunner
+    from ubresnet_tpu.models import get_model
+    from ubresnet_tpu.train import init_model
+
+    hw = (1008, 3456) if HW == 512 else (2 * HW, 3 * HW)
+    tiles = (512, 832) if HW == 512 else (HW, HW)
+    overlaps = (16, 176) if HW == 512 else (8, 8)
+    model = get_model(
+        "uresnet", policy=Policy.tpu(), input_channels=1, inplanes=INPLANES
+    )
+    variables = init_model(model, jax.random.PRNGKey(0),
+                           jnp.zeros((1, tiles[0], tiles[1], 1)))
+    rng = np.random.RandomState(3)
+    planes = [synth_event(rng, hw)["wire"] for _ in range(3)]
+
+    def window(runner, n=6):
+        dev = None
+        t0 = time.time()
+        for i in range(n):
+            dev = runner.dispatch_image(planes[i % len(planes)])
+        _ = float(jax.device_get(dev[0, 0, 0]))
+        return n / (time.time() - t0)
+
+    out = {}
+    stitched = WholeViewRunner(model, variables, tile_rows=tiles[0],
+                               tile_cols=tiles[1],
+                               min_overlap_rows=overlaps[0],
+                               min_overlap_cols=overlaps[1], crop_batch=7)
+    window(stitched, 3)  # compile + settle sparse capacity
+    out["stitched_planes_per_sec"] = round(window(stitched), 3)
+    log(f"wholeview stitched: {out['stitched_planes_per_sec']} planes/s")
+
+    spatial = WholeViewRunner(
+        model, variables,
+        spatial_mesh=Mesh(np.array(jax.devices()[:1]), ("devices",)),
+    )
+    window(spatial, 3)  # compile + settle sparse capacity
+    out["spatial_planes_per_sec"] = round(window(spatial), 3)
+    out["spatial_speedup"] = round(
+        out["spatial_planes_per_sec"] / out["stitched_planes_per_sec"], 3
+    )
+    log(f"wholeview spatial: {out['spatial_planes_per_sec']} planes/s "
+        f"({out['spatial_speedup']}x stitched)")
+    return out
+
+
+def measure_int8_infer(tpu: dict) -> dict:
+    """int8 PTQ infer A/B (ops/quant.py, Policy.tpu_int8()): the MXU's
+    s8×s8→s32 mode is twice its bf16 rate — does it beat the Pallas
+    bf16 fused-eval zone end-to-end? Same window as the headline, same
+    weights (PRNGKey(0)); also records on-chip accuracy as the mean
+    |Δp| vs an f32 forward on the window's last batch. Decision rule:
+    docs/roofline.md round-4 section."""
+    import jax
+    import jax.numpy as jnp
+
+    from ubresnet_tpu.core.precision import Policy
+    from ubresnet_tpu.models import get_model
+    from ubresnet_tpu.ops.quant import calibrate
+    from ubresnet_tpu.ops.sparse import sparse_forward_fn
+    from ubresnet_tpu.train import init_model
+
+    model = get_model(
+        "uresnet", policy=Policy.tpu_int8(), input_channels=1,
+        inplanes=INPLANES
+    )
+    variables = init_model(model, jax.random.PRNGKey(0),
+                           jnp.zeros((1, HW, HW, 1)))
+    dense, sparse = make_batches()
+    qvars = calibrate(model, variables, [dense[0][..., None]])
+    fwd = sparse_forward_fn(model)
+
+    def window(n):
+        out = None
+        t0 = time.time()
+        for i in range(n):
+            sp = sparse[i % len(sparse)]
+            out = fwd(qvars, jax.device_put(sp["indices"]),
+                      jax.device_put(sp["values"]), (HW, HW))
+        _ = float(out[0, 0, 0, 0])
+        return time.time() - t0, out
+
+    window(2)
+    dt, probs_q = window(ITERS)
+    rate = ITERS * BATCH / dt
+    out = {
+        "crops_per_sec": round(rate, 2),
+        "ms_per_batch": round(dt / ITERS * 1e3, 2),
+        "speedup_vs_bf16": round(rate / tpu["crops_per_sec"], 3),
+    }
+    f32_model = get_model(
+        "uresnet",
+        policy=Policy(pack_width=8, compute_dtype=jnp.float32),
+        input_channels=1,
+        inplanes=INPLANES,
+    )
+    last = jnp.asarray(
+        dense[(ITERS - 1) % len(dense)][..., None], jnp.float32
+    )
+    ref = jnp.exp(
+        jax.jit(lambda v, x: f32_model.apply(v, x))(variables, last)
+    )
+    out["prob_mae_vs_f32"] = round(
+        float(jnp.mean(jnp.abs(probs_q - ref))), 5
+    )
+    log(f"int8 infer: {out}")
+    return out
+
+
 def measure_torch_train_baseline() -> float:
     """PyTorch engine train step on this host (CPU build): forward +
     weighted-NLL + backward + Adam, batch 1 like the reference deploy
@@ -403,9 +553,23 @@ def main():
             "detail": f"default backend is {probe['platform']!r}, not tpu",
         }))
         sys.exit(0)
-    tpu = measure_tpu()
-    train_batches = make_train_batches()
-    train = measure_tpu_train(batches=train_batches)
+    try:
+        with section_timeout(SECTION_TIMEOUT_S):
+            tpu = measure_tpu()
+        train_batches = make_train_batches()
+        with section_timeout(SECTION_TIMEOUT_S):
+            train = measure_tpu_train(batches=train_batches)
+    except TimeoutError as exc:
+        # Tunnel died mid-bench: still print a structured line.
+        print(json.dumps({
+            "metric": "uresnet16_512x512_infer_crops_per_sec_per_chip",
+            "value": None,
+            "unit": "crops/s",
+            "vs_baseline": None,
+            "error": "bench_timeout",
+            "detail": str(exc),
+        }))
+        sys.exit(0)
     baselines = get_baselines()
     result = {
         "metric": "uresnet16_512x512_infer_crops_per_sec_per_chip",
@@ -432,7 +596,8 @@ def main():
     # UBTPU_BENCH_FAST=1 skips them (headline metrics only).
     if os.environ.get("UBTPU_BENCH_FAST") != "1":
         try:
-            fused = measure_tpu_train(fused=True, batches=train_batches)
+            with section_timeout(SECTION_TIMEOUT_S):
+                fused = measure_tpu_train(fused=True, batches=train_batches)
             result["train_fused"] = {
                 "value": round(fused["crops_per_sec"], 2),
                 "unit": "crops/s",
@@ -443,7 +608,8 @@ def main():
         except Exception as exc:  # record, don't erase the headline
             result["train_fused"] = {"error": f"{type(exc).__name__}: {exc}"}
         try:
-            deploy = measure_deploy_cli()
+            with section_timeout(SECTION_TIMEOUT_S):
+                deploy = measure_deploy_cli()
             result["deploy"] = {
                 "value": round(deploy["crops_per_sec"], 2),
                 "unit": "crops/s",
@@ -454,6 +620,16 @@ def main():
             }
         except Exception as exc:
             result["deploy"] = {"error": f"{type(exc).__name__}: {exc}"}
+        try:
+            with section_timeout(SECTION_TIMEOUT_S):
+                result["wholeview"] = measure_wholeview()
+        except Exception as exc:
+            result["wholeview"] = {"error": f"{type(exc).__name__}: {exc}"}
+        try:
+            with section_timeout(SECTION_TIMEOUT_S):
+                result["int8"] = measure_int8_infer(tpu)
+        except Exception as exc:
+            result["int8"] = {"error": f"{type(exc).__name__}: {exc}"}
     print(json.dumps(result))
 
 
