@@ -52,6 +52,25 @@ def test_infer_precropped_cli(fixtures):
 
 
 @pytest.mark.slow
+def test_infer_precropped_cli_int8(fixtures):
+    """--int8 deploy: calibrates on the input, writes normalized scores."""
+    out = str(fixtures["dir"] / "pre_out_int8.uevt")
+    stdout = run_cli([
+        "ubresnet_tpu.cli.infer_precropped", "-i", fixtures["data"], "-o", out,
+        "-c", fixtures["ckpt"], "-p", "2", "-b", "2", "-v",
+        "--int8", "--int8-calib", "4",
+    ])
+    assert "int8: calibrated on 4 images" in stdout
+    timing = json.loads(stdout.strip().splitlines()[-1])
+    assert timing["total"] > 0
+    r = EventFileReader(out)
+    assert len(r) == 4
+    scores = r.read_entry(0)["uburn_plane2"]
+    total = sum(s.pixels for s in scores)
+    np.testing.assert_allclose(total, 1.0, atol=1e-2)
+
+
+@pytest.mark.slow
 def test_compare_and_evaluate_cli(fixtures):
     pre = str(fixtures["dir"] / "pre_out.uevt")
     if not os.path.exists(pre):

@@ -55,6 +55,28 @@ def test_serve_once_drains_and_quarantines(tmp_path, ckpt, capsys):
     assert lines[-1]["served"] == 0
 
 
+def test_serve_once_int8(tmp_path, ckpt, capsys):
+    """--int8 serve: calibrates on the first served file, output scores
+    stay normalized (quant dequant ends in the same softmax head)."""
+    from ubresnet_tpu.cli.serve import main
+
+    watch = tmp_path / "in"
+    out = tmp_path / "out"
+    watch.mkdir()
+    make_synthetic_file(str(watch / "a.uevt"), n_events=2, hw=(64, 64))
+
+    argv = ["--watch-dir", str(watch), "--out-dir", str(out),
+            "-c", ckpt, "-p", "2", "--once", "-b", "2", "-v",
+            "--int8", "--int8-calib", "2"]
+    assert main(argv) == 0
+    out_text = capsys.readouterr().out
+    assert "int8: calibrated on 2 images" in out_text
+    r = EventFileReader(str(out / "a_scores.uevt"))
+    scores = r.read_entry(0)["uburn_plane2"]
+    total = sum(s.pixels for s in scores)
+    np.testing.assert_allclose(total, 1.0, atol=1e-2)
+
+
 def _wait_for(path, timeout=240.0, absent=()):
     t0 = time.time()
     while time.time() - t0 < timeout:

@@ -285,3 +285,32 @@ def test_precropped_runner_f16_scores(tmp_path, tiny_model):
         assert ib.pixels.dtype == np.float16
         np.testing.assert_allclose(ib.pixels.astype(np.float32),
                                    ia.pixels, atol=5e-4)
+
+
+def test_precropped_runner_int8(tmp_path, tiny_model):
+    """--int8 deploy path: calibrate_from the input file, quantized
+    scores close to the f32 run, probabilities still sum to 1."""
+    import dataclasses
+
+    model, variables = tiny_model
+    qmodel = model.clone(policy=dataclasses.replace(
+        Policy.tpu_int8(), compute_dtype=jnp.float32))
+    inp = make_synthetic_file(str(tmp_path / "in.uevt"), n_events=4,
+                              hw=(64, 64))
+    out_q = str(tmp_path / "q.uevt")
+    out_f = str(tmp_path / "f.uevt")
+    qr = PrecroppedRunner(qmodel, variables, batch_size=2)
+    assert qr.calibrate_from(inp, plane=2) == 4
+    assert "quant" in qr.variables
+    qr.run(inp, out_q, plane=2)
+    PrecroppedRunner(model, variables, batch_size=2).run(inp, out_f, plane=2)
+    for e in range(4):
+        sq = EventFileReader(out_q).read_entry(e)["uburn_plane2"]
+        sf = EventFileReader(out_f).read_entry(e)["uburn_plane2"]
+        np.testing.assert_allclose(
+            sum(s.pixels for s in sq), 1.0, atol=1e-3)
+        err = np.mean([np.abs(a.pixels - b.pixels).mean()
+                       for a, b in zip(sq, sf)])
+        # inplanes=4 toy width carries ~3x the relative int8 noise of
+        # real widths (cf. 1.3e-2 at inplanes=8, tests/test_quant.py)
+        assert err < 0.06, f"entry {e}: mean |dp| {err}"

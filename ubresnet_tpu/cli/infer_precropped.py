@@ -13,7 +13,12 @@ import json
 def load_model_and_variables(args):
     from ubresnet_tpu.core.precision import Policy
 
-    policy = Policy.f32() if args.f32 else Policy.tpu()
+    if args.f32:
+        policy = Policy.f32()
+    elif getattr(args, "int8", False):
+        policy = Policy.tpu_int8()
+    else:
+        policy = Policy.tpu()
     if args.checkpoint.endswith(".tar"):
         from ubresnet_tpu.deploy.importers import load_reference_model
 
@@ -72,6 +77,14 @@ def build_parser():
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="wrap the run in a jax.profiler trace "
                          "(TensorBoard profile plugin)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 PTQ inference (ops/quant.py): calibrate "
+                         "activation scales on the first --int8-calib "
+                         "input images, then run packed convs s8xs8->s32 "
+                         "on the MXU (2x its bf16 rate)")
+    ap.add_argument("--int8-calib", type=int, default=32, metavar="N",
+                    help="calibration images taken from the input "
+                         "(default 32)")
     ap.add_argument("--f16-scores", action="store_true",
                     help="store score images as float16 in .uevt "
                          "outputs (half the bytes, ~5e-4 quantisation; "
@@ -96,6 +109,15 @@ def main(argv=None):
         compact_readback=args.compact_readback,
         score_dtype=np.float16 if args.f16_scores else np.float32,
     )
+    if args.int8:
+        if args.f32:
+            raise SystemExit("--int8 and --f32 are mutually exclusive")
+        n_cal = runner.calibrate_from(
+            args.input, plane=args.plane, producer=args.producer,
+            n_images=args.int8_calib,
+        )
+        if args.verbose:
+            print(f"int8: calibrated on {n_cal} images")
     import contextlib
 
     ctx = contextlib.nullcontext()

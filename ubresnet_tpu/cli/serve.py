@@ -44,6 +44,13 @@ def build_parser():
                     help="store score images as float16 in .uevt "
                          "outputs (half the bytes)")
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 PTQ inference; activation scales are "
+                         "calibrated on the first served file "
+                         "(ops/quant.py)")
+    ap.add_argument("--int8-calib", type=int, default=32, metavar="N",
+                    help="calibration images from the first file "
+                         "(default 32)")
     ap.add_argument("-v", "--verbose", action="store_true")
     return ap
 
@@ -61,6 +68,8 @@ def main(argv=None) -> int:
     from ubresnet_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+    if args.int8 and args.f32:
+        raise SystemExit("--int8 and --f32 are mutually exclusive")
     os.makedirs(args.out_dir, exist_ok=True)
     import numpy as np
 
@@ -105,6 +114,14 @@ def main(argv=None) -> int:
                 break
             try:
                 t0 = time.time()
+                if args.int8 and "quant" not in runner.variables:
+                    n_cal = runner.calibrate_from(
+                        path, plane=args.plane, producer=args.producer,
+                        n_images=args.int8_calib,
+                    )
+                    if args.verbose:
+                        print(f"int8: calibrated on {n_cal} images "
+                              f"from {name}", flush=True)
                 timing = runner.run(
                     path, out, plane=args.plane, producer=args.producer,
                     verbose=args.verbose,

@@ -94,6 +94,38 @@ class PrecroppedRunner:
             batch.shape[1:3],
         )
 
+    def calibrate_from(
+        self,
+        input_file: str,
+        plane: int = 2,
+        producer: str = "wire",
+        n_images: int = 32,
+    ) -> int:
+        """int8 PTQ calibration (ops/quant.py) from the first
+        ``n_images`` of the input itself — the deploy-time analog of
+        bench.py's int8 section. Requires the runner's model policy to
+        have ``quant_eval=True`` (``Policy.tpu_int8()``); updates
+        ``self.variables`` with the calibrated 'quant' collection.
+        Returns the number of images used."""
+        from ubresnet_tpu.data.rootio import open_event_file
+        from ubresnet_tpu.ops.quant import calibrate
+
+        reader = open_event_file(input_file)
+        images = []
+        for i in range(min(n_images, len(reader))):
+            ev = reader.read_entry(i, producers=[producer])
+            imgs = ev[producer]
+            sel = [im for im in imgs if im.meta.plane == plane] or imgs
+            px = sel[0].pixels
+            if self.adc_threshold:
+                px = np.where(px < self.adc_threshold, 0.0, px)
+            images.append(px)
+        if not images:
+            raise ValueError(f"no '{producer}' images in {input_file}")
+        batch = np.stack(images)[..., None].astype(np.float32)
+        self.variables = calibrate(self.model, self.variables, [batch])
+        return len(images)
+
     def _fetch(self, dev: jax.Array) -> np.ndarray:
         """Device scores → host (b, h, w, c) float32 probabilities.
 
