@@ -340,10 +340,15 @@ def measure_wholeview() -> dict:
 def measure_int8_infer(tpu: dict) -> dict:
     """int8 PTQ infer A/B (ops/quant.py, Policy.tpu_int8()): the MXU's
     s8×s8→s32 mode is twice its bf16 rate — does it beat the Pallas
-    bf16 fused-eval zone end-to-end? Same window as the headline, same
-    weights (PRNGKey(0)); also records on-chip accuracy as the mean
-    |Δp| vs an f32 forward on the window's last batch. Decision rule:
+    bf16 fused-eval zone end-to-end? Two arms: the headline is
+    Policy.tpu_int8() as shipped (int8 Pallas fused kernels on TPU),
+    `xla_crops_per_sec` is the same quantization on the XLA packed
+    path (fused_eval=False). Same window as the headline, same weights
+    (PRNGKey(0)); also records on-chip accuracy as the mean |Δp| vs an
+    f32 forward on the window's last batch. Decision rule:
     docs/roofline.md round-4 section."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -361,9 +366,8 @@ def measure_int8_infer(tpu: dict) -> dict:
                            jnp.zeros((1, HW, HW, 1)))
     dense, sparse = make_batches()
     qvars = calibrate(model, variables, [dense[0][..., None]])
-    fwd = sparse_forward_fn(model)
 
-    def window(n):
+    def window(fwd, n):
         out = None
         t0 = time.time()
         for i in range(n):
@@ -373,14 +377,25 @@ def measure_int8_infer(tpu: dict) -> dict:
         _ = float(out[0, 0, 0, 0])
         return time.time() - t0, out
 
-    window(2)
-    dt, probs_q = window(ITERS)
+    fwd = sparse_forward_fn(model)
+    window(fwd, 2)
+    dt, probs_q = window(fwd, ITERS)
     rate = ITERS * BATCH / dt
     out = {
         "crops_per_sec": round(rate, 2),
         "ms_per_batch": round(dt / ITERS * 1e3, 2),
         "speedup_vs_bf16": round(rate / tpu["crops_per_sec"], 3),
+        "fused_kernels": bool(model.policy.fused_eval),
     }
+    if model.policy.fused_eval:
+        # second arm: same int8 quantization through XLA packed convs
+        xmodel = model.clone(policy=dataclasses.replace(
+            model.policy, fused_eval=False))
+        xfwd = sparse_forward_fn(xmodel)
+        window(xfwd, 2)
+        xdt, _ = window(xfwd, ITERS)
+        out["xla_crops_per_sec"] = round(ITERS * BATCH / xdt, 2)
+        out["fused_speedup_vs_xla"] = round(xdt / dt, 3)
     f32_model = get_model(
         "uresnet",
         policy=Policy(pack_width=8, compute_dtype=jnp.float32),

@@ -83,8 +83,15 @@ class Policy:
         """Packed int8 PTQ inference: the MXU's s8×s8→s32 mode is 2x
         the bf16 rate; whether that beats the Pallas bf16 fused-eval
         zone end-to-end is a chip A/B (bench.py int8 section,
-        docs/roofline.md decision rules)."""
-        return Policy(pack_width=8, quant_eval=True)
+        docs/roofline.md decision rules). With fused_eval also set
+        (TPU backend), stride-1 convs AND whole BasicBlocks ride the
+        int8 variants of the Pallas halo-matmul kernels — dequant
+        folded into the BN-affine epilogue, block intermediates
+        requantized in VMEM — instead of the XLA packed path."""
+        import jax
+
+        return Policy(pack_width=8, quant_eval=True,
+                      fused_eval=jax.default_backend() == "tpu")
 
     @staticmethod
     def f32() -> "Policy":

@@ -288,12 +288,22 @@ class ConvBN(nn.Module):
             cdt = self.policy.compute_dtype
             if params_only:
                 # fused block kernel reads the raw params + BN stats
+                # (+ the calibrated input scale on the int8 path)
                 kernel, cbias = conv(x, params_only=True)
                 dummy = jnp.zeros((1, 1, 1, p * self.features), cdt)
                 scale, bbias, mean, var = bn(
                     dummy, train=train, params_only=True
                 )
-                return kernel, cbias, scale, bbias, mean, var
+                sx = None
+                if self.policy.quant_eval and not self.is_initializing():
+                    if not self.has_variable("quant", "act_scale"):
+                        raise ValueError(
+                            "quant_eval=True but no calibrated 'quant' "
+                            "collection — run ubresnet_tpu.ops.quant."
+                            "calibrate() first"
+                        )
+                    sx = self.get_variable("quant", "act_scale")
+                return kernel, cbias, scale, bbias, mean, var, sx
             pe = _p_eff(p, ci, x.shape[2] * p)
             if (
                 self.policy.quant_eval
@@ -320,6 +330,47 @@ class ConvBN(nn.Module):
                 sx = self.get_variable("quant", "act_scale")
                 kernel, cbias = conv(x, params_only=True)
                 sw = weight_scales(kernel)
+                use_fused_q = (
+                    self.policy.fused_eval
+                    and self.stride == 1
+                    and ci * pe >= 128
+                    and 2 * (self.kernel // 2) * ci <= 128
+                )
+                if use_fused_q:
+                    # int8 Pallas fused conv: same halo-matmul kernel
+                    # as the bf16 zone with s8×s8→s32 MXU passes (2x
+                    # the bf16 rate); dequant (sx·sw) folds into the
+                    # BN gain so the epilogue is unchanged.
+                    from ubresnet_tpu.ops.packed import (
+                        tile_channel_vector,
+                    )
+                    from ubresnet_tpu.ops.pallas_conv import (
+                        fused_packed_conv,
+                    )
+
+                    dummy = jnp.zeros((1, 1, 1, p * self.features), cdt)
+                    scale, bbias, mean, var = bn(
+                        dummy, train=False, params_only=True
+                    )
+                    g, beta = fold_bn(scale, bbias, mean, var, cbias,
+                                      eps=bn.epsilon)
+                    y = fused_packed_conv(
+                        _repack(quantize_act(x, sx), p, pe),
+                        quantize_weight(kernel, sw),
+                        tile_channel_vector(g * sw * sx, pe),
+                        tile_channel_vector(beta, pe),
+                        p=pe,
+                        residual=(
+                            _repack(residual.astype(cdt), p, pe)
+                            if residual is not None
+                            else None
+                        ),
+                        pre_act=self.act if residual is not None else False,
+                        act=True if residual is not None else self.act,
+                        out_dtype=cdt,
+                        interpret=jax.default_backend() != "tpu",
+                    )
+                    return _repack(y, pe, p)
                 y = packed_conv(
                     quantize_act(x, sx),
                     quantize_weight(kernel, sw),
@@ -523,7 +574,7 @@ class BasicBlock(nn.Module):
             )
 
             def fold(parts):
-                kernel, cbias, scale, bbias, mean, var = parts
+                kernel, cbias, scale, bbias, mean, var, _ = parts
                 g, beta = fold_bn(scale, bbias, mean, var, cbias)
                 return (
                     kernel,
@@ -535,12 +586,79 @@ class BasicBlock(nn.Module):
             interp = jax.default_backend() != "tpu"
             dummy_in = jnp.zeros((1, 1, 1, p * inp), cdt)
             dummy_mid = jnp.zeros((1, 1, 1, p * self.features), cdt)
-            k1, g1, b1 = fold(cb1(dummy_in, train=train, params_only=True))
-            k2, g2, b2 = fold(cb2(dummy_mid, train=train, params_only=True))
-            if use_dual:
-                kb, gb, bb = fold(
-                    bypass(dummy_in, train=train, params_only=True)
+            parts1 = cb1(dummy_in, train=train, params_only=True)
+            parts2 = cb2(dummy_mid, train=train, params_only=True)
+            partsb = (
+                bypass(dummy_in, train=train, params_only=True)
+                if has_bypass
+                else None
+            )
+            if pol.quant_eval:
+                # int8 whole-block: same fused kernels with s8×s8→s32
+                # MXU passes; the intermediate requantizes in VMEM on
+                # conv2's calibrated grid (s_mid), so the caller folds
+                # the dequant chain into the affines — see
+                # ops/pallas_conv.py:_block_kernel int8 docstring.
+                from ubresnet_tpu.ops.quant import (
+                    quantize_act,
+                    quantize_weight,
+                    weight_scales,
                 )
+
+                sx1, s_mid = parts1[-1], parts2[-1]
+
+                def fold_q(parts, s_in, s_out=None):
+                    kernel, cbias, scale, bbias, mean, var, _ = parts
+                    g, beta = fold_bn(scale, bbias, mean, var, cbias)
+                    g = g * (s_in * weight_scales(kernel))
+                    if s_out is not None:
+                        g, beta = g / s_out, beta / s_out
+                    return (
+                        quantize_weight(kernel, weight_scales(kernel)),
+                        tile_channel_vector(g, pe),
+                        tile_channel_vector(beta, pe),
+                    )
+
+                k1, g1, b1 = fold_q(parts1, sx1, s_mid)
+                k2, g2, b2 = fold_q(parts2, s_mid)
+                if has_bypass:
+                    kb, gb, bb = fold_q(partsb, sx1)
+                else:
+                    # identity bypass: the kernel still dequants the
+                    # quantized input via the affine (sx1·xq + 0)
+                    kb = None
+                    gb = tile_channel_vector(
+                        sx1 * jnp.ones((self.features,), jnp.float32), pe
+                    )
+                    bb = tile_channel_vector(
+                        jnp.zeros((self.features,), jnp.float32), pe
+                    )
+                xq = _repack(quantize_act(x, sx1), p, pe)
+                if use_dual:
+                    # calibration saw the explicit concat, so ONE
+                    # scale (sx1) covers both streams
+                    return _repack(
+                        fused_dual_block(
+                            xq,
+                            _repack(quantize_act(dual, sx1), p, pe),
+                            k1, g1, b1, k2, g2, b2, kb, gb, bb,
+                            p=pe, out_dtype=cdt, interpret=interp,
+                        ),
+                        pe,
+                        p,
+                    )
+                return _repack(
+                    fused_basic_block(
+                        xq, k1, g1, b1, k2, g2, b2, kb, gb, bb,
+                        p=pe, out_dtype=cdt, interpret=interp,
+                    ),
+                    pe,
+                    p,
+                )
+            k1, g1, b1 = fold(parts1)
+            k2, g2, b2 = fold(parts2)
+            if use_dual:
+                kb, gb, bb = fold(partsb)
                 return _repack(
                     fused_dual_block(
                         _repack(x.astype(cdt), p, pe),
@@ -556,9 +674,7 @@ class BasicBlock(nn.Module):
                 )
             kb = gb = bb = None
             if has_bypass:
-                kb, gb, bb = fold(
-                    bypass(dummy_in, train=train, params_only=True)
-                )
+                kb, gb, bb = fold(partsb)
             return _repack(
                 fused_basic_block(
                     _repack(x.astype(cdt), p, pe),

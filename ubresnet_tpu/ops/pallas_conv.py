@@ -230,6 +230,7 @@ def _conv_kernel(
     act: bool,
     pre_act: bool,
     has_res: bool,
+    quantized: bool = False,
 ):
     """Flat grid (B * H/th); halo-row streaming via _halo_stream."""
     m = th * wc
@@ -241,21 +242,25 @@ def _conv_kernel(
     # (Precision.HIGHEST mis-lowers in this Mosaic version — produces
     # wrong results, measured); the fused path is therefore gated to
     # the bf16 compute policy where this is the native precision.
-    acc = jnp.zeros((m, pco), jnp.float32)
+    # ``quantized``: s8 operands accumulate exactly in s32 (the MXU's
+    # int8 mode, 2x its bf16 rate); the dequant scale rides g_ref.
+    adt = jnp.int32 if quantized else jnp.float32
+    acc = jnp.zeros((m, pco), adt)
     for k in range(kh):
         row0 = k * wc  # static python int: plain slices
         acc = acc + jnp.dot(
             xall[row0 : row0 + m],
             wm_ref[k],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=adt,
         )
         if hwci:
             acc = acc + jnp.dot(
                 call[row0 : row0 + m],
                 wh_ref[k],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=adt,
             )
-    y = acc * g_ref[0] + b_ref[0]
+    y = acc.astype(jnp.float32) * g_ref[0] + b_ref[0] \
+        if quantized else acc * g_ref[0] + b_ref[0]
     if pre_act:
         y = jnp.maximum(y, 0.0)
     if has_res:
@@ -267,7 +272,8 @@ def _conv_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p", "act", "pre_act", "th", "interpret"),
+    static_argnames=("p", "act", "pre_act", "th", "interpret",
+                     "out_dtype"),
 )
 def fused_packed_conv(
     x: jax.Array,
@@ -283,11 +289,15 @@ def fused_packed_conv(
     # but model-wide at the bench batch 64, th=64 wins (690 vs 678
     # crops/s) — more grid programs amortise worse at small tiles
     interpret: bool = False,
+    out_dtype=None,
 ) -> jax.Array:
     """Fused (packed conv k x k, stride 1) → affine → [pre-ReLU] →
     [+ residual] → [ReLU].
 
-    x: (B, H, WC, p*ci) packed bf16/f32
+    x: (B, H, WC, p*ci) packed bf16/f32 — or int8 (with an int8 w):
+       the conv then runs s8×s8→s32 on the MXU (2x its bf16 rate)
+       and ``g`` must carry the dequant scale (sx·sw) folded into the
+       BN gain (ops/quant.py). int8 callers must set ``out_dtype``.
     w: (kh, kw, ci, co) UNPACKED conv kernel (checkpoint layout)
     g, b: (p*co,) folded BN affine (fold the conv bias into b)
     residual: optional (B, H, WC, p*co), added after the pre-ReLU
@@ -296,6 +306,11 @@ def fused_packed_conv(
     kh, kw, ci, co = w.shape
     assert pci == p * ci, (pci, p, ci)
     assert kh % 2 == 1 and kw % 2 == 1, "odd kernels only ('same' conv)"
+    quantized = x.dtype == jnp.int8
+    if quantized:
+        assert w.dtype == jnp.int8, "int8 x needs an int8 kernel"
+        assert out_dtype is not None, "int8 callers must set out_dtype"
+    out_dtype = x.dtype if out_dtype is None else out_dtype
     pco = p * co
     hwci = (kw // 2) * ci
     assert 2 * hwci <= COMBO, "halo wider than one combo tile"
@@ -305,11 +320,12 @@ def fused_packed_conv(
     # exceed the 16 MB scoped limit at 64-lane outputs with th=64)
     hb0 = kh // 2
     nb = x.dtype.itemsize
+    nbo = jnp.dtype(out_dtype).itemsize
     th = _fit_th(h, th, lambda t: (
         2 * (t + 2 * hb0) * wc * pci * nb     # xs double buffer
         + 2 * (t + 2 * hb0) * wc * COMBO * 4  # combo + roll temps (f32)
-        + t * wc * pco * 4                    # f32 accumulator
-        + t * wc * pco * nb                   # out block
+        + t * wc * pco * 4                    # f32/s32 accumulator
+        + t * wc * pco * nbo                  # out block
     ))
     wmain, whalo = halo_weights(w, p)
     wmain = wmain.astype(x.dtype)
@@ -330,6 +346,7 @@ def fused_packed_conv(
         act=act,
         pre_act=pre_act,
         has_res=has_res,
+        quantized=quantized,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # x DMA'd by the kernel
@@ -362,14 +379,14 @@ def fused_packed_conv(
             lambda i: (i // nh, i % nh, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, h * wc, pco), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, h * wc, pco), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((2, (th + 2 * hb) * wc, pci), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(bsz * h * wc * (pci + pco)) * nbytes,
+            bytes_accessed=bsz * h * wc * (pci * nbytes + pco * nbo),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -558,6 +575,7 @@ def _dual_block_kernel(
     th: int,
     wc: int,
     nh: int,
+    quantized: bool = False,
 ):
     """BasicBlock over an implicit channel-concat of two streams —
     conv(concat[a, b]) ≡ conv_a(a) + conv_b(b), so the decoder's
@@ -565,7 +583,11 @@ def _dual_block_kernel(
     common_layers.py:122-132) never materialises the packed concat.
     Everything else matches _block_kernel (two 3x3 convs, pre-add
     ReLU, 1x1 bypass projection over both streams, residual add,
-    final ReLU) with both inputs double-buffered from HBM."""
+    final ReLU) with both inputs double-buffered from HBM.
+
+    ``quantized``: int8 streams (ONE shared scale — calibration sees
+    the concat), s32 accumulation, VMEM requant of the intermediate;
+    scale folding as in _block_kernel."""
     hb = 2
     m = th * wc
     m1 = (th + 2) * wc
@@ -579,10 +601,11 @@ def _dual_block_kernel(
     xa = xsa[slot]
     xb = xsb[slot]
     dt = xa.dtype
+    adt = jnp.int32 if quantized else jnp.float32
 
     ca = _combo(xa, cia, wc)
     cb = _combo(xb, cib, wc)
-    acc1 = jnp.zeros((m1, pco), jnp.float32)
+    acc1 = jnp.zeros((m1, pco), adt)
     for k in range(3):
         r0 = k * wc
         for x2, c2, wm, wh in (
@@ -590,12 +613,16 @@ def _dual_block_kernel(
             (xb, cb, wm1b_ref, wh1b_ref),
         ):
             acc1 = acc1 + jnp.dot(
-                x2[r0 : r0 + m1], wm[k], preferred_element_type=jnp.float32
+                x2[r0 : r0 + m1], wm[k], preferred_element_type=adt
             )
             acc1 = acc1 + jnp.dot(
-                c2[r0 : r0 + m1], wh[k], preferred_element_type=jnp.float32
+                c2[r0 : r0 + m1], wh[k], preferred_element_type=adt
             )
-    y1 = jnp.maximum(acc1 * g1_ref[0] + b1_ref[0], 0.0)
+    y1 = jnp.maximum(
+        acc1.astype(jnp.float32) * g1_ref[0] + b1_ref[0], 0.0
+    )
+    if quantized:  # requantize the intermediate on the int8 grid
+        y1 = jnp.round(jnp.minimum(y1, 127.0))
     ridx = jax.lax.broadcasted_iota(jnp.int32, (m1, 1), 0)
     y1 = jnp.where(jnp.logical_and(hj == 0, ridx < wc), 0.0, y1)
     y1 = jnp.where(
@@ -603,31 +630,35 @@ def _dual_block_kernel(
     ).astype(dt)
 
     c2nd = _combo(y1, co, wc)
-    acc2 = jnp.zeros((m, pco), jnp.float32)
+    acc2 = jnp.zeros((m, pco), adt)
     for k in range(3):
         r0 = k * wc
         acc2 = acc2 + jnp.dot(
-            y1[r0 : r0 + m], wm2_ref[k], preferred_element_type=jnp.float32
+            y1[r0 : r0 + m], wm2_ref[k], preferred_element_type=adt
         )
         acc2 = acc2 + jnp.dot(
-            c2nd[r0 : r0 + m], wh2_ref[k], preferred_element_type=jnp.float32
+            c2nd[r0 : r0 + m], wh2_ref[k], preferred_element_type=adt
         )
-    y2 = jnp.maximum(acc2 * g2_ref[0] + b2_ref[0], 0.0)  # pre-add ReLU
+    y2 = jnp.maximum(  # pre-add ReLU
+        acc2.astype(jnp.float32) * g2_ref[0] + b2_ref[0], 0.0
+    )
 
     res = (
         jnp.dot(
             xa[hrows : hrows + m], wba_ref[0],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=adt,
         )
         + jnp.dot(
             xb[hrows : hrows + m], wbb_ref[0],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=adt,
         )
-    ) * gb_ref[0] + bb_ref[0]
+    ).astype(jnp.float32) * gb_ref[0] + bb_ref[0]
     out_ref[0] = jnp.maximum(y2 + res, 0.0).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "th", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("p", "th", "interpret", "out_dtype")
+)
 def fused_dual_block(
     a: jax.Array,
     b: jax.Array,
@@ -644,12 +675,18 @@ def fused_dual_block(
     p: int,
     th: int = 32,
     interpret: bool = False,
+    out_dtype=None,
 ) -> jax.Array:
     """BasicBlock over concat([a, b], channels), eval mode, without
     materialising the concat. a: (B, H, WC, p*cia), b: same spatial,
     p*cib channels; w1 (3, 3, cia+cib, co), w2 (3, 3, co, co),
     wb (1, 1, cia+cib, co) — checkpoint layouts; the kernels split by
-    input stream here. g*/b* folded (p*co,) affines."""
+    input stream here. g*/b* folded (p*co,) affines.
+
+    int8 mode (a/b/w* int8, ``out_dtype`` required): both streams must
+    share ONE activation scale (calibration sees the concat); dots run
+    s8×s8→s32 and the intermediate requantizes in VMEM — scale folding
+    as in fused_basic_block (_block_kernel int8 docstring)."""
     bsz, h, wc, pcia = a.shape
     _, _, _, pcib = b.shape
     _, _, cin, co = w1.shape
@@ -661,12 +698,20 @@ def fused_dual_block(
     )
     assert pcia >= COMBO and pcib >= COMBO and pco >= COMBO
     assert 2 * cia <= COMBO and 2 * cib <= COMBO and 2 * co <= COMBO
+    quantized = a.dtype == jnp.int8
+    if quantized:
+        assert b.dtype == jnp.int8
+        assert w1.dtype == jnp.int8 and w2.dtype == jnp.int8
+        assert wb.dtype == jnp.int8
+        assert out_dtype is not None, "int8 callers must set out_dtype"
+    out_dtype = a.dtype if out_dtype is None else out_dtype
     nb = a.dtype.itemsize
+    nbo = jnp.dtype(out_dtype).itemsize
     th = _fit_th(h, th, lambda t: wc * (
         2 * (t + 4) * (pcia + pcib) * nb      # two stream double buffers
         + 3 * (t + 4) * COMBO * 4             # ca/cb/c2nd f32 temps
         + (t + 2) * pco * (4 + nb)            # acc1 + y1
-        + t * pco * (4 + nb)                  # acc2 + out block
+        + t * pco * (4 + nbo)                 # acc2 + out block
     ))
     wm1a, wh1a = halo_weights(w1[:, :, :cia], p)
     wm1b, wh1b = halo_weights(w1[:, :, cia:], p)
@@ -678,6 +723,7 @@ def fused_dual_block(
     kernel = functools.partial(
         _dual_block_kernel,
         cia=cia, cib=cib, co=co, th=th, wc=wc, nh=nh,
+        quantized=quantized,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     dt = a.dtype
@@ -690,7 +736,7 @@ def fused_dual_block(
             lambda i: (i // nh, i % nh, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, h * wc, pco), dt),
+        out_shape=jax.ShapeDtypeStruct((bsz, h * wc, pco), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((2, (th + 4) * wc, pcia), dt),
             pltpu.VMEM((2, (th + 4) * wc, pcib), dt),
@@ -701,9 +747,8 @@ def fused_dual_block(
             * (3 * (pcia + pcib + 2 * COMBO) * pco
                + 3 * (pco + COMBO) * pco
                + (pcia + pcib) * pco),
-            bytes_accessed=bsz * h * wc * (pcia + pcib + pco) * dt.itemsize
-            if hasattr(dt, "itemsize")
-            else 0,
+            bytes_accessed=bsz * h * wc
+            * ((pcia + pcib) * nb + pco * nbo),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -1284,6 +1329,7 @@ def _block_kernel(
     wc: int,
     nh: int,
     has_bypass: bool,
+    quantized: bool = False,
 ):
     """Whole BasicBlock (two 3x3 conv+BN stages, pre-add ReLU, bypass
     projection, residual add, final ReLU — common_layers.py:18-58) in
@@ -1291,7 +1337,14 @@ def _block_kernel(
     block's HBM traffic is read-x + write-out instead of the XLA
     path's six tensor round-trips. The model is HBM-bound (measured:
     ~43 GB accessed ≈ the whole forward's runtime), so this is where
-    the packed stages' time actually goes."""
+    the packed stages' time actually goes.
+
+    ``quantized``: x/weights are int8, dots accumulate in s32 (the
+    MXU's 2x-rate mode) and the intermediate REQUANTIZES in VMEM —
+    the caller pre-folds dequant (sx·sw1) AND the next conv's 1/s_mid
+    into g1/b1, so the conv1 epilogue lands directly on the int8 grid
+    (round + clip 127); g2 carries s_mid·sw2, gb carries sx·swb (or
+    the plain sx dequant when the bypass is identity)."""
     hb = 2  # two chained 3x3 convs
     m = th * wc
     m1 = (th + 2) * wc
@@ -1301,21 +1354,26 @@ def _block_kernel(
     pco = out_ref.shape[-1]
     xall = xs[slot]
     dt = xall.dtype
+    adt = jnp.int32 if quantized else jnp.float32
 
     # conv1 over th+2 rows (conv2 needs one halo row each side)
     c1 = _combo(xall, hwci1, wc)
-    acc1 = jnp.zeros((m1, pco), jnp.float32)
+    acc1 = jnp.zeros((m1, pco), adt)
     for k in range(3):
         r0 = k * wc
         acc1 = acc1 + jnp.dot(
             xall[r0 : r0 + m1], wm1_ref[k],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=adt,
         )
         acc1 = acc1 + jnp.dot(
             c1[r0 : r0 + m1], wh1_ref[k],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=adt,
         )
-    y1 = jnp.maximum(acc1 * g1_ref[0] + b1_ref[0], 0.0)
+    y1 = jnp.maximum(
+        acc1.astype(jnp.float32) * g1_ref[0] + b1_ref[0], 0.0
+    )
+    if quantized:  # requantize the intermediate on the int8 grid
+        y1 = jnp.round(jnp.minimum(y1, 127.0))
     # conv2's 'same' padding: conv1 rows beyond the image are ZERO
     # (they hold conv-over-garbage-halo values otherwise)
     ridx = jax.lax.broadcasted_iota(jnp.int32, (m1, 1), 0)
@@ -1326,33 +1384,38 @@ def _block_kernel(
 
     # conv2 over th rows
     c2 = _combo(y1, hwci2, wc)
-    acc2 = jnp.zeros((m, pco), jnp.float32)
+    acc2 = jnp.zeros((m, pco), adt)
     for k in range(3):
         r0 = k * wc
         acc2 = acc2 + jnp.dot(
             y1[r0 : r0 + m], wm2_ref[k],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=adt,
         )
         acc2 = acc2 + jnp.dot(
             c2[r0 : r0 + m], wh2_ref[k],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=adt,
         )
-    y2 = jnp.maximum(acc2 * g2_ref[0] + b2_ref[0], 0.0)  # pre-add ReLU
+    y2 = jnp.maximum(  # pre-add ReLU
+        acc2.astype(jnp.float32) * g2_ref[0] + b2_ref[0], 0.0
+    )
 
     xmid = xall[hb * wc : hb * wc + m]
     if has_bypass:
         res = (
-            jnp.dot(xmid, wb_ref[0], preferred_element_type=jnp.float32)
+            jnp.dot(xmid, wb_ref[0], preferred_element_type=adt)
+            .astype(jnp.float32)
             * gb_ref[0]
             + bb_ref[0]
         )
+    elif quantized:  # identity bypass still needs the sx dequant
+        res = xmid.astype(jnp.float32) * gb_ref[0] + bb_ref[0]
     else:
         res = xmid.astype(jnp.float32)
     out_ref[0] = jnp.maximum(y2 + res, 0.0).astype(out_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "th", "interpret")
+    jax.jit, static_argnames=("p", "th", "interpret", "out_dtype")
 )
 def fused_basic_block(
     x: jax.Array,
@@ -1369,6 +1432,7 @@ def fused_basic_block(
     p: int,
     th: int = 32,
     interpret: bool = False,
+    out_dtype=None,
 ) -> jax.Array:
     """Whole BasicBlock, stride 1, eval mode:
     relu( prerelu(bn2(conv2(relu(bn1(conv1(x)))))) + bypass(x) ).
@@ -1376,7 +1440,13 @@ def fused_basic_block(
     x: (B, H, WC, p*ci) packed; w1 (3,3,ci,co), w2 (3,3,co,co)
     unpacked checkpoint-layout kernels; g*/b* folded (p*co,) affines;
     wb (1,1,ci,co) optional projection (+gb/bb affine) — identity
-    bypass when absent (requires ci == co)."""
+    bypass when absent (requires ci == co).
+
+    int8 mode (x/w* int8, ``out_dtype`` required): dots run s8×s8→s32
+    and the intermediate requantizes in VMEM; the caller pre-folds the
+    scale chain into g1/b1/g2/gb (see _block_kernel docstring). With
+    an identity bypass, pass gb = sx·ones(p·co) / bb = zeros for the
+    residual dequant."""
     bsz, h, wc, pci = x.shape
     _, _, ci, co = w1.shape
     assert pci == p * ci
@@ -1386,12 +1456,22 @@ def fused_basic_block(
     )
     assert 2 * ci <= COMBO and 2 * co <= COMBO
     assert pci >= COMBO and pco >= COMBO
+    quantized = x.dtype == jnp.int8
+    if quantized:
+        assert w1.dtype == jnp.int8 and w2.dtype == jnp.int8
+        assert out_dtype is not None, "int8 callers must set out_dtype"
+        assert wb is None or wb.dtype == jnp.int8
+        assert gb is not None and bb is not None, (
+            "int8 identity bypass still needs the sx dequant affine"
+        )
+    out_dtype = x.dtype if out_dtype is None else out_dtype
     nb = x.dtype.itemsize
+    nbo = jnp.dtype(out_dtype).itemsize
     th = _fit_th(h, th, lambda t: wc * (
         2 * (t + 4) * pci * nb                # xs double buffer
         + 2 * (t + 4) * COMBO * 4             # combo + c2nd f32 temps
         + (t + 2) * pco * (4 + nb)            # acc1 + y1
-        + t * pco * (4 + nb)                  # acc2 + out block
+        + t * pco * (4 + nbo)                 # acc2 + out block
     ))
     wm1, wh1 = halo_weights(w1, p)
     wm2, wh2 = halo_weights(w2, p)
@@ -1403,8 +1483,10 @@ def fused_basic_block(
     else:
         assert ci == co, "identity bypass needs matching channels"
         wbm = jnp.zeros((1, pci, pco), x.dtype)
-        gbt = jnp.zeros((1, pco), jnp.float32)
-        bbt = jnp.zeros((1, pco), jnp.float32)
+        gbt = (gb.reshape(1, pco).astype(jnp.float32) if quantized
+               else jnp.zeros((1, pco), jnp.float32))
+        bbt = (bb.reshape(1, pco).astype(jnp.float32) if quantized
+               else jnp.zeros((1, pco), jnp.float32))
     nh = h // th
     grid = (bsz * nh,)
     kernel = functools.partial(
@@ -1415,6 +1497,7 @@ def fused_basic_block(
         wc=wc,
         nh=nh,
         has_bypass=has_bypass,
+        quantized=quantized,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -1426,7 +1509,7 @@ def fused_basic_block(
             lambda i: (i // nh, i % nh, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, h * wc, pco), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, h * wc, pco), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((2, (th + 4) * wc, pci), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1434,7 +1517,7 @@ def fused_basic_block(
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h * wc
             * (6 * (pci + COMBO) * pco // 2 + pci * pco),
-            bytes_accessed=bsz * h * wc * (pci + pco) * x.dtype.itemsize,
+            bytes_accessed=bsz * h * wc * (pci * nb + pco * nbo),
             transcendentals=0,
         ),
         interpret=interpret,

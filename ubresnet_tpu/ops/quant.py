@@ -72,8 +72,13 @@ def calibrate(
     """
     import dataclasses
 
+    # fused paths are disabled during calibration: the whole-block
+    # Pallas kernels call their ConvBNs with params_only dummies, so a
+    # fused-routed calibration would record zero scales for the inner
+    # convs (blocks.py BasicBlock fused path).
     cal_pol = dataclasses.replace(
-        model.policy, quant_calib=True, quant_eval=False
+        model.policy, quant_calib=True, quant_eval=False,
+        fused_eval=False, fused_train=False
     )
     cal_model = model.clone(policy=cal_pol)
 
