@@ -248,6 +248,31 @@ def test_fused_int8_dual_block_matches_xla():
     )
 
 
+def test_fused_int8_deconv_matches_xla_int8():
+    """int8 Pallas deconv (s8×s8→s32 + dequant epilogue) == XLA packed
+    int8 deconv + the same dequant; exact s32 accumulators in both."""
+    from ubresnet_tpu.ops.packed import packed_deconv2x, tile_channel_vector
+    from ubresnet_tpu.ops.pallas_conv import fused_packed_deconv2x
+
+    rng = np.random.RandomState(8)
+    p, ci, co, h, wc = 8, 16, 8, 8, 4
+    xq = jnp.asarray(rng.randint(-127, 128, (2, h, wc, p * ci)), jnp.int8)
+    wq = jnp.asarray(rng.randint(-64, 65, (4, 4, ci, co)), jnp.int8)
+    sxsw = jnp.asarray(
+        np.abs(rng.randn(co)).astype(np.float32) * 1e-3
+    )
+    y = fused_packed_deconv2x(
+        xq, wq, tile_channel_vector(sxsw, 2 * p),
+        p=p, out_dtype=jnp.float32, interpret=True,
+    )
+    ref = packed_deconv2x(xq, wq, p, preferred=jnp.int32)
+    ref = ref.astype(jnp.float32) * tile_channel_vector(sxsw, p)
+    assert y.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(ref), rtol=1e-6, atol=1e-5
+    )
+
+
 def test_quant_model_fused_close_to_f32():
     """Model-level: quant_eval + fused_eval (int8 Pallas per-conv AND
     whole-block kernels, interpret mode) stays as close to the f32

@@ -741,6 +741,17 @@ class Deconv2x(nn.Module):
     @nn.compact
     def __call__(self, x, target_hw: Optional[Tuple[int, int]] = None,
                  *, train: bool = False):
+        if self.policy.quant_calib and not self.is_initializing():
+            # int8 PTQ calibration (ops/quant.py): like ConvBN, record
+            # the running abs-max of this deconv's input so eval can
+            # ride the MXU's s8×s8→s32 mode across the decoder too.
+            qs = self.variable(
+                "quant", "act_scale", lambda: jnp.zeros((), jnp.float32)
+            )
+            qs.value = jnp.maximum(
+                qs.value,
+                jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0,
+            )
         if self.packed:
             from ubresnet_tpu.ops.packed import packed_deconv2x
 
@@ -755,6 +766,56 @@ class Deconv2x(nn.Module):
                 raise ValueError("packed deconv requires exact 2x width")
             cdt = self.policy.compute_dtype
             pe = _p_eff(p, cin, x.shape[2] * p)
+            if (
+                self.policy.quant_eval
+                and not train
+                and not self.is_initializing()
+            ):
+                # int8 PTQ eval: quantize input + kernel (bias-free, no
+                # BN → the epilogue is a pure dequant multiply sx·sw).
+                from ubresnet_tpu.ops.packed import tile_channel_vector
+                from ubresnet_tpu.ops.quant import (
+                    quantize_act,
+                    quantize_weight,
+                    weight_scales,
+                )
+
+                if not self.has_variable("quant", "act_scale"):
+                    raise ValueError(
+                        "quant_eval=True but no calibrated 'quant' "
+                        "collection — run ubresnet_tpu.ops.quant."
+                        "calibrate() first"
+                    )
+                sx = self.get_variable("quant", "act_scale")
+                sw = weight_scales(kernel)
+                xq = quantize_act(x, sx)
+                wq = quantize_weight(kernel, sw)
+                if (
+                    self.policy.fused_eval
+                    and th == 2 * x.shape[1]
+                    and cin * pe >= 128
+                    and 2 * cin <= 128
+                ):
+                    from ubresnet_tpu.ops.pallas_conv import (
+                        fused_packed_deconv2x,
+                    )
+
+                    y = fused_packed_deconv2x(
+                        _repack(xq, p, pe),
+                        wq,
+                        tile_channel_vector(sw * sx, 2 * pe),
+                        p=pe,
+                        out_dtype=cdt,
+                        interpret=jax.default_backend() != "tpu",
+                    )
+                    return _repack(y, pe, p)
+                y = packed_deconv2x(
+                    xq, wq, p, target_h=th, preferred=jnp.int32
+                )
+                return (
+                    y.astype(jnp.float32)
+                    * tile_channel_vector(sw * sx, p)
+                ).astype(cdt)
             # Pallas deconv (no BN/bias → train/eval math identical):
             # eval uses the forward-only kernel; training uses the
             # custom-VJP variant (Pallas on all three legs) when the

@@ -173,13 +173,15 @@ def pack_deconv_kernel(
 
 
 def packed_deconv2x(
-    x: jax.Array, w: jax.Array, p: int, target_h: Optional[int] = None
+    x: jax.Array, w: jax.Array, p: int, target_h: Optional[int] = None,
+    preferred=None,
 ) -> jax.Array:
     """torch ConvTranspose2d(k=4, s=2, p=1) on a packed tensor.
 
     x: (b, h, wc, p·ci); w: unpacked transposed-conv natural layout
     (kh, kw, ci, co) (our Deconv2x param layout). Output doubles h and
-    the packed cell count: (b, 2h, 2wc, p·co).
+    the packed cell count: (b, 2h, 2wc, p·co). ``preferred``: pass
+    jnp.int32 for int8 operands (the MXU's exact s8×s8→s32 mode).
     """
     b, h, wc, pci = x.shape
     wp, (plo, _) = pack_deconv_kernel(w, p)
@@ -195,6 +197,7 @@ def packed_deconv2x(
         padding=[(2, h_phi), (plo, w_phi)],
         lhs_dilation=(2, 2),  # H real dilation; W cell dilation
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred,
     )
     return y
 

@@ -813,34 +813,45 @@ def deconv_weights(w: jax.Array, p: int):
 
 
 def _deconv_kernel(
-    x_hbm, wm_ref, wh_ref, out_ref, xs, sems, *, ci: int, th: int,
-    wc: int, nh: int,
+    x_hbm, wm_ref, wh_ref, *rest, ci: int, th: int,
+    wc: int, nh: int, quantized: bool = False,
 ):
     """Grid (B * H/th) over INPUT row tiles; each program emits 2*th
     output rows (both parities, interleaved). Same flat layout and
-    double-buffered DMA as _conv_kernel with a 1-row halo."""
+    double-buffered DMA as _conv_kernel with a 1-row halo.
+
+    ``quantized``: int8 x/weights, s32 accumulation (the MXU's 2x-rate
+    mode); an extra g_ref input carries the (2p·co,) dequant vector
+    (sx·sw on the output-offset layout) applied in the epilogue."""
+    if quantized:
+        g_ref, out_ref, xs, sems = rest
+    else:
+        out_ref, xs, sems = rest
     m = th * wc
     slot = _halo_stream(x_hbm, xs, sems, nh=nh, th=th, wc=wc, hb=1)
     pco2 = out_ref.shape[-1]
     xall = xs[slot]
     call = _combo(xall, ci, wc)
+    adt = jnp.int32 if quantized else jnp.float32
 
     def parity(a):
         acc = jnp.dot(
             xall[wc : wc + m], wm_ref[a, 0],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=adt,
         ) + jnp.dot(
             call[wc : wc + m], wh_ref[a, 0],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=adt,
         )
         off = 0 if a == 0 else 2 * wc  # row r-1 / r+1
         acc = acc + jnp.dot(
             xall[off : off + m], wm_ref[a, 1],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=adt,
         ) + jnp.dot(
             call[off : off + m], wh_ref[a, 1],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=adt,
         )
+        if quantized:
+            return acc.astype(jnp.float32) * g_ref[0]
         return acc
 
     y0 = parity(0).reshape(th, wc, pco2)
@@ -849,14 +860,18 @@ def _deconv_kernel(
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "th", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("p", "th", "interpret", "out_dtype")
+)
 def fused_packed_deconv2x(
     x: jax.Array,
     w: jax.Array,
+    g: jax.Array = None,
     *,
     p: int,
     th: int = 32,
     interpret: bool = False,
+    out_dtype=None,
 ) -> jax.Array:
     """ConvTranspose2d(k=4, s=2, p=1, bias=False) on a packed tensor —
     Pallas form of ops/packed.py:packed_deconv2x (reference motif:
@@ -865,49 +880,65 @@ def fused_packed_deconv2x(
 
     x: (b, h, wc, p*ci); w: (4, 4, ci, co) natural ConvTranspose
     layout. Returns (b, 2h, 2wc, p*co) — bit-identical layout to the
-    XLA packed path (out offsets 2p·m+oo ≡ packed cells 2m + oo//p)."""
+    XLA packed path (out offsets 2p·m+oo ≡ packed cells 2m + oo//p).
+
+    int8 mode (x/w int8): dots run s8×s8→s32 and ``g`` must carry the
+    (2p·co,) dequant vector (tile sx·sw over the 2p output offsets);
+    ``out_dtype`` required."""
     bsz, h, wc, pci = x.shape
     kh, kw, ci, co = w.shape
     assert pci == p * ci, (pci, p, ci)
     assert pci >= COMBO and 2 * ci <= COMBO
+    quantized = x.dtype == jnp.int8
+    if quantized:
+        assert w.dtype == jnp.int8, "int8 x needs an int8 kernel"
+        assert g is not None, "int8 callers must pass the dequant g"
+        assert out_dtype is not None, "int8 callers must set out_dtype"
+    out_dtype = x.dtype if out_dtype is None else out_dtype
     nb = x.dtype.itemsize
+    nbo = jnp.dtype(out_dtype).itemsize
     th = _fit_th(h, th, lambda t: wc * (
         2 * (t + 2) * pci * nb                # xs double buffer
         + (t + 2) * COMBO * 4                 # combo f32 temps
-        + 2 * t * 2 * p * co * (4 + nb)       # acc + out (2x rows, pco2)
+        + 2 * t * 2 * p * co * (4 + nbo)      # acc + out (2x rows, pco2)
     ))
     wm, wh = deconv_weights(w, p)
     nh = h // th
     grid = (bsz * nh,)
     pco2 = 2 * p * co
     kernel = functools.partial(
-        _deconv_kernel, ci=ci, th=th, wc=wc, nh=nh
+        _deconv_kernel, ci=ci, th=th, wc=wc, nh=nh, quantized=quantized
     )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ins = [
+        x.reshape(bsz, h * wc, pci),
+        wm.astype(x.dtype),
+        wh.astype(x.dtype),
+    ]
+    if quantized:
+        ins.append(g.reshape(1, pco2).astype(jnp.float32))
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        + [vmem] * (len(ins) - 1),
         out_specs=pl.BlockSpec(
             (1, 2 * th * wc, pco2),
             lambda i: (i // nh, i % nh, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, 2 * h * wc, pco2), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, 2 * h * wc, pco2), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((2, (th + 2) * wc, pci), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h * wc * 4 * (pci + COMBO) * pco2,
-            bytes_accessed=bsz * h * wc * (pci + 2 * pco2) * x.dtype.itemsize,
+            bytes_accessed=bsz * h * wc * (pci * nb + 2 * pco2 * nbo),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x.reshape(bsz, h * wc, pci), wm.astype(x.dtype), wh.astype(x.dtype))
+    )(*ins)
     return out.reshape(bsz, 2 * h, 2 * wc, p * co)
 
 
