@@ -303,6 +303,53 @@ def test_quant_model_fused_close_to_f32():
     assert agree > 0.95, f"argmax agreement {agree}"
 
 
+def test_calib_batch_range_semantics():
+    """calib_batch_range: 0 → abs-max; P → percentile of NONZERO |x|
+    (zeros excluded — they dominate ADC/post-ReLU tensors and quantize
+    to 0 exactly under any scale); all-zero input → 0."""
+    from ubresnet_tpu.ops.quant import calib_batch_range
+
+    x = jnp.asarray([0.0, 0.0, 0.0, -1.0, 2.0, -3.0, 100.0])
+    assert float(calib_batch_range(x)) == 100.0
+    # median of nonzero |x| = {1,2,3,100} -> 2.5; zeros excluded
+    assert float(calib_batch_range(x, 50.0)) == pytest.approx(2.5)
+    # high percentile approaches (but is robust to) the outlier
+    assert float(calib_batch_range(x, 75.0)) <= 100.0
+    assert float(calib_batch_range(jnp.zeros((8,)), 99.0)) == 0.0
+    assert float(calib_batch_range(jnp.zeros((8,)))) == 0.0
+
+
+def test_percentile_calibration_model():
+    """Percentile calibration yields scales <= abs-max scales (clips
+    the activation tail) and the quantized model stays close to f32 —
+    the outlier-robust lever documented in docs/roofline.md."""
+    from ubresnet_tpu.train import init_model
+
+    pol = Policy(pack_width=8, compute_dtype=jnp.float32)
+    model = _uresnet(pol)
+    batches = _calib_batches()
+    variables = init_model(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1))
+    )
+    qv_max = calibrate(model, variables, batches)
+    qv_pct = calibrate(model, variables, batches, percentile=99.5)
+    s_max = jax.tree_util.tree_leaves(qv_max["quant"])
+    s_pct = jax.tree_util.tree_leaves(qv_pct["quant"])
+    assert len(s_max) == len(s_pct)
+    assert all(float(p) <= float(m) + 1e-7
+               for p, m in zip(s_pct, s_max))
+    assert any(float(p) < float(m) for p, m in zip(s_pct, s_max))
+    assert all(float(p) > 0 for p in s_pct)
+
+    x = jnp.asarray(batches[0])
+    ref = np.asarray(jnp.exp(model.apply(variables, x, train=False)))
+    qmodel = model.clone(policy=dataclasses.replace(pol, quant_eval=True))
+    got = np.asarray(jnp.exp(qmodel.apply(qv_pct, x, train=False)))
+    assert np.abs(got - ref).mean() < 0.03
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.93, f"argmax agreement {agree}"
+
+
 def test_quant_eval_requires_calibration():
     from ubresnet_tpu.train import init_model
 

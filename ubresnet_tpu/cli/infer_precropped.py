@@ -85,6 +85,12 @@ def build_parser():
     ap.add_argument("--int8-calib", type=int, default=32, metavar="N",
                     help="calibration images taken from the input "
                          "(default 32)")
+    ap.add_argument("--int8-percentile", type=float, default=None,
+                    metavar="P",
+                    help="calibrate scales from the P-th percentile of "
+                         "nonzero |x| instead of abs-max (e.g. 99.9; "
+                         "outlier-robust, saturates the largest "
+                         "activations)")
     ap.add_argument("--f16-scores", action="store_true",
                     help="store score images as float16 in .uevt "
                          "outputs (half the bytes, ~5e-4 quantisation; "
@@ -115,6 +121,7 @@ def main(argv=None):
         n_cal = runner.calibrate_from(
             args.input, plane=args.plane, producer=args.producer,
             n_images=args.int8_calib,
+            percentile=args.int8_percentile,
         )
         if args.verbose:
             print(f"int8: calibrated on {n_cal} images")

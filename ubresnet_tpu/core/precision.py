@@ -70,6 +70,16 @@ class Policy:
     # Eval-only; the reference has no analog (its engine is f32 CUDA).
     quant_eval: bool = False
     quant_calib: bool = False
+    # Calibration statistic: 0.0 records the running abs-max (exact
+    # range, outlier-sensitive); a value like 99.9 records the running
+    # max of the per-batch percentile of NONZERO |x| instead, trading
+    # saturation of the largest activations (quantize_act clips) for a
+    # finer grid on the bulk. The documented first lever if a
+    # real-weight model shows int8 accuracy loss (ops/quant.py,
+    # docs/roofline.md). Zeros are excluded because ADC inputs and
+    # post-ReLU features are mostly zero — an all-pixel percentile
+    # would collapse the scale to 0.
+    quant_percentile: float = 0.0
 
     @staticmethod
     def tpu() -> "Policy":

@@ -100,13 +100,15 @@ class PrecroppedRunner:
         plane: int = 2,
         producer: str = "wire",
         n_images: int = 32,
+        percentile: float = None,
     ) -> int:
         """int8 PTQ calibration (ops/quant.py) from the first
         ``n_images`` of the input itself — the deploy-time analog of
         bench.py's int8 section. Requires the runner's model policy to
         have ``quant_eval=True`` (``Policy.tpu_int8()``); updates
         ``self.variables`` with the calibrated 'quant' collection.
-        Returns the number of images used."""
+        ``percentile``: outlier-robust scale statistic (see
+        ops/quant.calibrate). Returns the number of images used."""
         from ubresnet_tpu.data.rootio import open_event_file
         from ubresnet_tpu.ops.quant import calibrate
 
@@ -123,7 +125,9 @@ class PrecroppedRunner:
         if not images:
             raise ValueError(f"no '{producer}' images in {input_file}")
         batch = np.stack(images)[..., None].astype(np.float32)
-        self.variables = calibrate(self.model, self.variables, [batch])
+        self.variables = calibrate(
+            self.model, self.variables, [batch], percentile=percentile
+        )
         return len(images)
 
     def _fetch(self, dev: jax.Array) -> np.ndarray:

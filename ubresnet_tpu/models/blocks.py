@@ -260,15 +260,19 @@ class ConvBN(nn.Module):
         epilogue on the packed eval path. ``params_only`` returns the
         conv/BN parameters for the whole-block fused kernel."""
         if self.policy.quant_calib and not self.is_initializing():
-            # int8 PTQ calibration (ops/quant.py): running abs-max of
-            # this conv's input into the 'quant' collection. x is the
-            # same set of values packed or not (packing is a reshape).
+            # int8 PTQ calibration (ops/quant.py): running range of
+            # this conv's input into the 'quant' collection (abs-max,
+            # or the policy's quant_percentile of nonzero |x|). x is
+            # the same set of values packed or not (a reshape).
+            from ubresnet_tpu.ops.quant import calib_batch_range
+
             qs = self.variable(
                 "quant", "act_scale", lambda: jnp.zeros((), jnp.float32)
             )
             qs.value = jnp.maximum(
                 qs.value,
-                jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0,
+                calib_batch_range(x, self.policy.quant_percentile)
+                / 127.0,
             )
         if self.packed:
             if self.dilation != 1:
@@ -743,14 +747,17 @@ class Deconv2x(nn.Module):
                  *, train: bool = False):
         if self.policy.quant_calib and not self.is_initializing():
             # int8 PTQ calibration (ops/quant.py): like ConvBN, record
-            # the running abs-max of this deconv's input so eval can
-            # ride the MXU's s8×s8→s32 mode across the decoder too.
+            # the running input range of this deconv so eval can ride
+            # the MXU's s8×s8→s32 mode across the decoder too.
+            from ubresnet_tpu.ops.quant import calib_batch_range
+
             qs = self.variable(
                 "quant", "act_scale", lambda: jnp.zeros((), jnp.float32)
             )
             qs.value = jnp.maximum(
                 qs.value,
-                jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0,
+                calib_batch_range(x, self.policy.quant_percentile)
+                / 127.0,
             )
         if self.packed:
             from ubresnet_tpu.ops.packed import packed_deconv2x

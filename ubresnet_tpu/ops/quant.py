@@ -34,6 +34,20 @@ import jax.numpy as jnp
 INT8_MAX = 127.0
 
 
+def calib_batch_range(x: jax.Array, percentile: float = 0.0) -> jax.Array:
+    """The |x| range one calibration batch contributes to a conv's
+    activation scale: abs-max when ``percentile`` is 0, else the
+    percentile of NONZERO |x| (zeros dominate ADC inputs and post-ReLU
+    features and would collapse the scale; they quantize to 0 exactly
+    under any scale). Modules take the running max of this across
+    batches (ConvBN / Deconv2x quant_calib branches)."""
+    ax = jnp.abs(x.astype(jnp.float32))
+    if not percentile:
+        return jnp.max(ax)
+    val = jnp.nanpercentile(jnp.where(ax > 0, ax, jnp.nan), percentile)
+    return jnp.where(jnp.isnan(val), 0.0, val)
+
+
 def weight_scales(w: jax.Array, eps: float = 1e-12) -> jax.Array:
     """Per-output-channel symmetric scales for an (kh, kw, ci, co)
     kernel: co-vector s with w ≈ s · round(w / s)."""
@@ -59,12 +73,17 @@ def calibrate(
     model: Any,
     variables: Dict[str, Any],
     batches: Iterable[jax.Array],
+    percentile: float = None,
     **apply_kwargs: Any,
 ) -> Dict[str, Any]:
     """Run eval forwards over ``batches`` (dense NHWC images) recording
-    every ConvBN's input abs-max; returns ``variables`` with the
-    'quant' collection added. Feed the result to a model whose policy
-    has ``quant_eval=True`` (e.g. ``Policy.tpu_int8()``).
+    every ConvBN's and Deconv2x's input range; returns ``variables``
+    with the 'quant' collection added. Feed the result to a model whose
+    policy has ``quant_eval=True`` (e.g. ``Policy.tpu_int8()``).
+
+    ``percentile``: overrides the policy's ``quant_percentile`` for
+    this calibration run (0 = abs-max; e.g. 99.9 = percentile of
+    nonzero |x|, the outlier-robust lever — see calib_batch_range).
 
     The calibration model is the same module tree with
     ``quant_calib=True`` — scale variable paths therefore line up with
@@ -78,7 +97,12 @@ def calibrate(
     # convs (blocks.py BasicBlock fused path).
     cal_pol = dataclasses.replace(
         model.policy, quant_calib=True, quant_eval=False,
-        fused_eval=False, fused_train=False
+        fused_eval=False, fused_train=False,
+        **(
+            {}
+            if percentile is None
+            else {"quant_percentile": percentile}
+        ),
     )
     cal_model = model.clone(policy=cal_pol)
 
