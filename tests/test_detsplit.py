@@ -144,3 +144,18 @@ def test_wholeview_detsplit_and_passthrough(tmp_path):
         np.testing.assert_allclose(total[cov >= 1], 1.0, atol=1e-4)
         if plane == 2:
             assert (cov >= 1).all()  # Y plane fully covered
+
+
+def test_tile_grid_rejects_overlap_ge_tile():
+    """min_overlap >= tile made the stride non-positive and the grid
+    silently EMPTY (nothing scored); it must raise instead."""
+    import pytest
+
+    from ubresnet_tpu.ops.tiling import tile_grid
+
+    with pytest.raises(ValueError, match="min_overlap"):
+        tile_grid(128, 192, 64, 64, min_overlap_rows=8,
+                  min_overlap_cols=176)
+    with pytest.raises(ValueError, match="min_overlap"):
+        tile_grid(128, 192, 64, 64, min_overlap_rows=64,
+                  min_overlap_cols=8)

@@ -175,3 +175,33 @@ def test_serve_continuous_poll_root_io_and_sigterm(tmp_path, ckpt):
         assert len(imgs) == 3
         total = sum(i.pixels for i in imgs)
         np.testing.assert_allclose(total, 1.0, atol=1e-4)
+
+
+def test_serve_once_wholeview_int8(tmp_path, ckpt, capsys):
+    """--wholeview serve: whole planes split/score/stitched per file,
+    int8 calibration on occupied tiles of the first file, normalized
+    stitched scores under the ubsnet producer."""
+    from ubresnet_tpu.cli.serve import main
+
+    watch = tmp_path / "in"
+    out = tmp_path / "out"
+    watch.mkdir()
+    make_synthetic_file(str(watch / "wv.uevt"), n_events=2, hw=(128, 192))
+
+    argv = ["--watch-dir", str(watch), "--out-dir", str(out),
+            "-c", ckpt, "--once", "-v", "--wholeview", "--planes", "2",
+            "--tile-rows", "64", "--tile-cols", "64", "--overlap-rows",
+            "8", "--overlap-cols", "8", "--crop-batch", "4",
+            "--int8", "--int8-calib", "2", "--int8-percentile", "99.9"]
+    assert main(argv) == 0
+    out_text = capsys.readouterr().out
+    assert "int8: calibrated on" in out_text and "tiles" in out_text
+    lines = [json.loads(l) for l in out_text.strip().splitlines()
+             if l.startswith("{")]
+    assert lines[-1]["shutdown"] is True and lines[-1]["served"] == 1
+    r = EventFileReader(str(out / "wv_scores.uevt"))
+    assert len(r) == 2
+    scores = r.read_entry(0)["ubsnet_plane2"]
+    assert len(scores) == 3
+    total = sum(s.pixels for s in scores)
+    np.testing.assert_allclose(total, 1.0, atol=1e-2)

@@ -40,7 +40,21 @@ def main(argv=None):
                     help="score each whole plane in ONE row-sharded "
                          "forward over all devices (GSPMD halo "
                          "exchange) instead of crop-and-stitch")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 PTQ inference (ops/quant.py): calibrate "
+                         "activation scales on occupied tiles of the "
+                         "first --int8-calib input planes, then run "
+                         "packed convs s8xs8->s32 on the MXU")
+    ap.add_argument("--int8-calib", type=int, default=4, metavar="N",
+                    help="whole-plane images used for calibration "
+                         "(default 4; every occupied tile of each)")
+    ap.add_argument("--int8-percentile", type=float, default=None,
+                    metavar="P",
+                    help="calibrate scales from the P-th percentile of "
+                         "nonzero |x| instead of abs-max (e.g. 99.9)")
     args = ap.parse_args(argv)
+    if args.int8 and args.f32:
+        raise SystemExit("--int8 and --f32 are mutually exclusive")
 
     from ubresnet_tpu.deploy import WholeViewRunner
 
@@ -62,6 +76,13 @@ def main(argv=None):
         crop_batch=args.crop_batch,
         spatial_mesh=spatial_mesh,
     )
+    if args.int8:
+        n_cal = runner.calibrate_from(
+            args.input, producer=args.producer, planes=args.planes,
+            n_images=args.int8_calib, percentile=args.int8_percentile,
+        )
+        if args.verbose:
+            print(f"int8: calibrated on {n_cal} tiles")
     timing = runner.run(
         args.input,
         args.output,

@@ -6,6 +6,7 @@ across files, so per-file cost is IO + forward only).
 
     ubtpu-serve --watch-dir in/ --out-dir out/ -c model.tar -p 2
     ubtpu-serve ... --once            # drain the backlog and exit
+    ubtpu-serve ... --wholeview       # whole-plane split/score/stitch
 
 Files count as processed when their output exists; a `<name>.failed`
 marker quarantines files that raise, so one bad file can't wedge the
@@ -34,6 +35,17 @@ def build_parser():
     ap.add_argument("-p", "--plane", type=int, default=2)
     ap.add_argument("-t", "--producer", default="wire")
     ap.add_argument("-b", "--batchsize", type=int, default=8)
+    ap.add_argument("--wholeview", action="store_true",
+                    help="serve whole-plane images (split/score/stitch, "
+                         "deploy/wholeview.py) instead of precropped; "
+                         "-p is ignored, use --planes")
+    ap.add_argument("--planes", type=int, nargs="*", default=None,
+                    help="wholeview: planes to score (default all)")
+    ap.add_argument("--tile-rows", type=int, default=512)
+    ap.add_argument("--tile-cols", type=int, default=832)
+    ap.add_argument("--overlap-rows", type=int, default=16)
+    ap.add_argument("--overlap-cols", type=int, default=176)
+    ap.add_argument("--crop-batch", type=int, default=10)
     ap.add_argument("--poll", type=float, default=2.0,
                     help="seconds between directory scans")
     ap.add_argument("--once", action="store_true",
@@ -50,7 +62,12 @@ def build_parser():
                          "(ops/quant.py)")
     ap.add_argument("--int8-calib", type=int, default=32, metavar="N",
                     help="calibration images from the first file "
-                         "(default 32)")
+                         "(default 32; with --wholeview: whole planes, "
+                         "every occupied tile of each)")
+    ap.add_argument("--int8-percentile", type=float, default=None,
+                    metavar="P",
+                    help="calibrate scales from the P-th percentile of "
+                         "nonzero |x| instead of abs-max (e.g. 99.9)")
     ap.add_argument("-v", "--verbose", action="store_true")
     return ap
 
@@ -74,10 +91,22 @@ def main(argv=None) -> int:
     import numpy as np
 
     model, variables = load_model_and_variables(args)
-    runner = PrecroppedRunner(
-        model, variables, batch_size=args.batchsize,
-        score_dtype=np.float16 if args.f16_scores else np.float32,
-    )
+    score_dtype = np.float16 if args.f16_scores else np.float32
+    if args.wholeview:
+        from ubresnet_tpu.deploy.wholeview import WholeViewRunner
+
+        runner = WholeViewRunner(
+            model, variables, score_dtype=score_dtype,
+            tile_rows=args.tile_rows, tile_cols=args.tile_cols,
+            min_overlap_rows=args.overlap_rows,
+            min_overlap_cols=args.overlap_cols,
+            crop_batch=args.crop_batch,
+        )
+    else:
+        runner = PrecroppedRunner(
+            model, variables, batch_size=args.batchsize,
+            score_dtype=score_dtype,
+        )
 
     stop = {"flag": False}
 
@@ -115,17 +144,35 @@ def main(argv=None) -> int:
             try:
                 t0 = time.time()
                 if args.int8 and "quant" not in runner.variables:
-                    n_cal = runner.calibrate_from(
-                        path, plane=args.plane, producer=args.producer,
-                        n_images=args.int8_calib,
-                    )
+                    if args.wholeview:
+                        n_cal = runner.calibrate_from(
+                            path, producer=args.producer,
+                            planes=args.planes,
+                            n_images=args.int8_calib,
+                            percentile=args.int8_percentile,
+                        )
+                        unit = "tiles"
+                    else:
+                        n_cal = runner.calibrate_from(
+                            path, plane=args.plane,
+                            producer=args.producer,
+                            n_images=args.int8_calib,
+                            percentile=args.int8_percentile,
+                        )
+                        unit = "images"
                     if args.verbose:
-                        print(f"int8: calibrated on {n_cal} images "
+                        print(f"int8: calibrated on {n_cal} {unit} "
                               f"from {name}", flush=True)
-                timing = runner.run(
-                    path, out, plane=args.plane, producer=args.producer,
-                    verbose=args.verbose,
-                )
+                if args.wholeview:
+                    timing = runner.run(
+                        path, out, producer=args.producer,
+                        planes=args.planes, verbose=args.verbose,
+                    )
+                else:
+                    timing = runner.run(
+                        path, out, plane=args.plane,
+                        producer=args.producer, verbose=args.verbose,
+                    )
                 served += 1
                 print(json.dumps({
                     "served": name, "output": os.path.basename(out),

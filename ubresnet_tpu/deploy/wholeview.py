@@ -47,6 +47,7 @@ class WholeViewRunner:
         covered_z_width: int = 310,
         det_half_height_cm: Optional[float] = None,
         spatial_mesh=None,
+        score_dtype=np.float32,
     ):
         self.model = model
         self.variables = variables
@@ -65,6 +66,10 @@ class WholeViewRunner:
         # (SURVEY.md §5.7b; replaces the reference's only option,
         # UBSplitDetector+Stitcher crops, run_ubresnet_wholeview.py:199-287)
         self.spatial_mesh = spatial_mesh
+        # score_dtype: storage dtype of written score images (float16
+        # halves .uevt bytes at ~5e-4 quantisation — same lever as
+        # PrecroppedRunner's --f16-scores)
+        self.score_dtype = score_dtype
         self._cap = 0
         self._compiled = {}
 
@@ -160,6 +165,67 @@ class WholeViewRunner:
 
         self._compiled[key] = (run, None)
         return self._compiled[key]
+
+    def calibrate_from(
+        self,
+        input_file: str,
+        producer: str = "wire",
+        planes: Optional[Sequence[int]] = None,
+        n_images: int = 4,
+        percentile: Optional[float] = None,
+        adc_threshold: float = 10.0,
+    ) -> int:
+        """int8 PTQ calibration (ops/quant.py) from the first
+        ``n_images`` whole-plane images of the input itself — the
+        wholeview analog of PrecroppedRunner.calibrate_from. Each plane
+        is tiled with the SAME static grid the scoring path uses and
+        only occupied tiles (any pixel >= ``adc_threshold``) feed the
+        calibration, so the recorded activation ranges match what eval
+        actually sees (empty crops would only dilute the statistic).
+        Requires ``quant_eval=True`` in the model policy
+        (``Policy.tpu_int8()``); updates ``self.variables`` with the
+        calibrated 'quant' collection. ``percentile``: outlier-robust
+        scale statistic (see ops/quant.calibrate). Returns the number
+        of calibration TILES used."""
+        from ubresnet_tpu.data.rootio import open_event_file
+        from ubresnet_tpu.ops.quant import calibrate
+
+        reader = open_event_file(input_file)
+        tiles = []
+        n_planes = 0
+        for i in range(len(reader)):
+            if n_planes >= n_images:
+                break
+            ev = reader.read_entry(i, producers=[producer])
+            for im in ev.get(producer, []):
+                if planes is not None and im.meta.plane not in planes:
+                    continue
+                if n_planes >= n_images:
+                    break
+                n_planes += 1
+                px = np.asarray(im.pixels, np.float32)
+                grid = tile_grid(
+                    px.shape[0], px.shape[1],
+                    self.tile_rows, self.tile_cols,
+                    self.min_overlap_rows, self.min_overlap_cols,
+                )
+                for r0, c0 in grid:
+                    t = px[r0 : r0 + self.tile_rows,
+                           c0 : c0 + self.tile_cols]
+                    if (t >= adc_threshold).any():
+                        tiles.append(t)
+        if not tiles:
+            raise ValueError(
+                f"no occupied '{producer}' tiles in {input_file}"
+            )
+        batches = [
+            np.stack(tiles[j : j + self.crop_batch])[..., None]
+            for j in range(0, len(tiles), self.crop_batch)
+        ]
+        self.variables = calibrate(
+            self.model, self.variables, batches, percentile=percentile
+        )
+        return len(tiles)
 
     def make_bboxes(
         self,
@@ -292,7 +358,17 @@ class WholeViewRunner:
         from ubresnet_tpu.data.rootio import open_event_file
 
         reader = open_event_file(input_file)
-        writer = EventFileWriter(output_file)
+        if output_file.endswith(".root"):
+            # write-back path: scores flow to larcv consumers (reference
+            # IOManager(kWRITE), run_ubresnet_wholeview.py:130-133)
+            from ubresnet_tpu.data.rootio import RootWriter
+
+            writer = RootWriter(output_file)
+            # RootWriter stores float32 (larcv Image2D is float)
+            out_dt = np.float32
+        else:
+            writer = EventFileWriter(output_file)
+            out_dt = self.score_dtype
         n = len(reader) if n_entries is None else min(n_entries, len(reader))
 
         for i in range(n):
@@ -334,7 +410,8 @@ class WholeViewRunner:
                 for c in range(scores.shape[-1]):
                     writer.append(
                         f"ubsnet_plane{img.meta.plane}",
-                        Image2D(scores[..., c].astype(np.float32), img.meta, *img.rse),
+                        Image2D(scores[..., c].astype(out_dt),
+                                img.meta, *img.rse),
                     )
                 timing["write"] += time.time() - t0
             # one output entry per event, all planes (reference writes

@@ -29,6 +29,14 @@ def _axis_positions(size: int, tile: int, min_overlap: int) -> List[int]:
     between neighbors and first/last flush with the edges."""
     if tile >= size:
         return [0]
+    if min_overlap >= tile:
+        # stride would be <= 0: ceil(span/stride) goes negative and the
+        # grid silently comes out EMPTY (nothing scored). Always a
+        # misconfiguration — e.g. shrinking tile_cols while keeping the
+        # default 176-col overlap.
+        raise ValueError(
+            f"min_overlap ({min_overlap}) must be < tile ({tile})"
+        )
     span = size - tile
     stride = tile - min_overlap
     n = int(np.ceil(span / stride)) + 1
