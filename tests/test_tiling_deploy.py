@@ -314,3 +314,134 @@ def test_precropped_runner_int8(tmp_path, tiny_model):
         # inplanes=4 toy width carries ~3x the relative int8 noise of
         # real widths (cf. 1.3e-2 at inplanes=8, tests/test_quant.py)
         assert err < 0.06, f"entry {e}: mean |dp| {err}"
+
+
+def test_wholeview_runner_int8(tmp_path, tiny_model):
+    """Wholeview --int8 path: calibrate_from tiles the input with the
+    scoring grid, keeps only occupied tiles, and the quantized stitched
+    scores stay close to the f32 run (probabilities still sum to 1)."""
+    import dataclasses
+
+    model, variables = tiny_model
+    qmodel = model.clone(policy=dataclasses.replace(
+        Policy.tpu_int8(), compute_dtype=jnp.float32))
+    inp = make_synthetic_file(str(tmp_path / "wv.uevt"), n_events=2,
+                              hw=(128, 192))
+    kw = dict(tile_rows=64, tile_cols=64, min_overlap_rows=8,
+              min_overlap_cols=8, crop_batch=4)
+    qr = WholeViewRunner(qmodel, variables, **kw)
+    n_tiles = qr.calibrate_from(inp, n_images=2, percentile=99.9)
+    assert n_tiles > 0
+    assert "quant" in qr.variables
+    out_q = str(tmp_path / "q.uevt")
+    out_f = str(tmp_path / "f.uevt")
+    qr.run(inp, out_q, planes=[2])
+    WholeViewRunner(model, variables, **kw).run(inp, out_f, planes=[2])
+    for e in range(2):
+        sq = EventFileReader(out_q).read_entry(e)["ubsnet_plane2"]
+        sf = EventFileReader(out_f).read_entry(e)["ubsnet_plane2"]
+        np.testing.assert_allclose(
+            sum(s.pixels for s in sq), 1.0, atol=2e-3)
+        err = np.mean([np.abs(a.pixels - b.pixels).mean()
+                       for a, b in zip(sq, sf)])
+        assert err < 0.06, f"entry {e}: mean |dp| {err}"
+
+
+def test_wholeview_calibrate_requires_occupied(tmp_path, tiny_model):
+    """All-empty input -> calibrate_from raises (no occupied tiles)."""
+    import dataclasses
+
+    from ubresnet_tpu.data import EventFileWriter
+    from ubresnet_tpu.data.meta import Image2D, ImageMeta
+
+    model, variables = tiny_model
+    qmodel = model.clone(policy=dataclasses.replace(
+        Policy.tpu_int8(), compute_dtype=jnp.float32))
+    path = str(tmp_path / "empty.uevt")
+    w = EventFileWriter(path)
+    meta = ImageMeta(0.0, 0.0, 192.0, 128.0, rows=128, cols=192, plane=2)
+    w.append("wire", Image2D(np.zeros((128, 192), np.float32), meta, 1, 0, 0))
+    w.set_id(1, 0, 0)
+    w.save_entry()
+    w.close()
+    qr = WholeViewRunner(qmodel, variables, tile_rows=64, tile_cols=64,
+                         min_overlap_rows=8, min_overlap_cols=8)
+    with pytest.raises(ValueError, match="occupied"):
+        qr.calibrate_from(path)
+
+
+def test_wholeview_spatial_int8_matches_unsharded(tmp_path, tiny_model):
+    """int8 quant_eval under the spatial row-sharded forward: the
+    quantized whole-plane forward over the 8-device mesh == the same
+    quantized forward on one device (integer conv math + scalar
+    activation scales must be GSPMD-invariant)."""
+    import dataclasses
+
+    import jax
+    from jax.sharding import Mesh
+
+    model, variables = tiny_model
+    qmodel = model.clone(policy=dataclasses.replace(
+        Policy.tpu_int8(), compute_dtype=jnp.float32))
+    inp = make_synthetic_file(str(tmp_path / "wv.uevt"), n_events=2,
+                              hw=(128, 192))
+    kw = dict(tile_rows=64, tile_cols=64, min_overlap_rows=8,
+              min_overlap_cols=8, crop_batch=4)
+    qr = WholeViewRunner(qmodel, variables, **kw)
+    qr.calibrate_from(inp, n_images=2)
+    qvars = qr.variables
+
+    img = np.random.RandomState(3).rand(100, 192).astype(np.float32) * 30
+    img[img < 24.0] = 0.0
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("devices",))
+    sp = WholeViewRunner(qmodel, qvars, spatial_mesh=mesh, **kw)
+    got = sp.score_image(img)
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-3)
+
+    single = WholeViewRunner(qmodel, qvars, spatial_mesh=Mesh(
+        np.array(jax.devices()[:1]), ("devices",)), **kw)
+    ref = single.score_image(img)
+    # NOT exact: quantize_act rounds the BN-folded f32 input, and a
+    # 1-ULP layout-dependent difference at a rounding boundary flips a
+    # quantized value; the random-init model saturates log-softmax so
+    # a flip shows as a one-hot pixel (measured: 14/57600). Pin the
+    # agreement fraction and the bulk error instead.
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.995, f"argmax agreement {agree}"
+    close = np.abs(got - ref) < 2e-3
+    assert close.mean() > 0.995, f"close fraction {close.mean()}"
+
+
+def test_precropped_runner_data_parallel(tmp_path, tiny_model):
+    """data_mesh deploy: batches sharded over the 8-device virtual mesh
+    produce the same scores as the single-device runner (GSPMD
+    data-parallel inference — pod-slice deploy), including the padded
+    tail batch; batch_size must divide by the device count."""
+    import jax
+    from jax.sharding import Mesh
+
+    model, variables = tiny_model
+    inp = make_synthetic_file(str(tmp_path / "in.uevt"), n_events=5,
+                              hw=(64, 64))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    with pytest.raises(ValueError, match="divisible"):
+        PrecroppedRunner(model, variables, batch_size=6, data_mesh=mesh)
+
+    out_dp = str(tmp_path / "dp.uevt")
+    out_1 = str(tmp_path / "one.uevt")
+    PrecroppedRunner(model, variables, batch_size=8,
+                     data_mesh=mesh).run(inp, out_dp, plane=2)
+    PrecroppedRunner(model, variables, batch_size=8).run(inp, out_1,
+                                                         plane=2)
+    ra, rb = EventFileReader(out_dp), EventFileReader(out_1)
+    assert len(ra) == len(rb) == 5
+    for e in range(5):
+        sa = ra.read_entry(e)["uburn_plane2"]
+        sb = rb.read_entry(e)["uburn_plane2"]
+        assert ra.rse(e) == rb.rse(e)
+        for a, b in zip(sa, sb):
+            # not bit-exact: GSPMD partitions the convs differently
+            # than the single-device program, so f32 reduction order
+            # shifts (measured max |dp| 8e-4 on a saturated softmax)
+            np.testing.assert_allclose(a.pixels, b.pixels, atol=2e-3)

@@ -95,6 +95,10 @@ def build_parser():
                     help="store score images as float16 in .uevt "
                          "outputs (half the bytes, ~5e-4 quantisation; "
                          ".root outputs stay f32)")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard each batch over every visible device "
+                         "(GSPMD data-parallel inference; -b must "
+                         "divide by the device count)")
     return ap
 
 
@@ -108,12 +112,19 @@ def main(argv=None):
     model, variables = load_model_and_variables(args)
     import numpy as np
 
+    data_mesh = None
+    if args.data_parallel:
+        import jax
+        from jax.sharding import Mesh
+
+        data_mesh = Mesh(np.array(jax.devices()), ("data",))
     runner = PrecroppedRunner(
         model,
         variables,
         batch_size=args.batchsize,
         compact_readback=args.compact_readback,
         score_dtype=np.float16 if args.f16_scores else np.float32,
+        data_mesh=data_mesh,
     )
     if args.int8:
         if args.f32:

@@ -36,6 +36,7 @@ class PrecroppedRunner:
         sparse_bucket: int = 4096,
         compact_readback: bool = False,
         score_dtype=np.float32,
+        data_mesh=None,
     ):
         self.model = model
         self.variables = variables
@@ -44,6 +45,28 @@ class PrecroppedRunner:
         self.sparse = sparse
         self.sparse_bucket = sparse_bucket
         self.compact = compact_readback
+        # data_mesh: a jax.sharding.Mesh → each dispatched batch is
+        # sharded over every mesh device on the batch axis (GSPMD
+        # data-parallel inference — pod-slice deploy; the reference has
+        # no multi-device deploy at all). batch_size must divide by the
+        # device count so shards stay equal (tail batches are already
+        # zero-padded to batch_size).
+        self.data_mesh = data_mesh
+        self._batch_sh = self._coo_sh = None
+        if data_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ndev = int(np.prod(list(data_mesh.shape.values())))
+            if batch_size % ndev:
+                raise ValueError(
+                    f"batch_size ({batch_size}) must be divisible by "
+                    f"the mesh device count ({ndev})"
+                )
+            axes = tuple(data_mesh.axis_names)
+            self._batch_sh = NamedSharding(
+                data_mesh, P(axes, None, None, None)
+            )
+            self._coo_sh = NamedSharding(data_mesh, P(axes, None))
         # np.float16 halves written score bytes (~5e-4 quantisation on
         # probabilities, same loss as the compact D2H form); the .root
         # writer path always stores f32 (larcv Image2D is float)
@@ -77,7 +100,9 @@ class PrecroppedRunner:
         if self.adc_threshold:
             batch = np.where(batch < self.adc_threshold, 0.0, batch)
         if not self.sparse:
-            return self._fwd(self.variables, jnp.asarray(batch))
+            x = (jnp.asarray(batch) if self._batch_sh is None
+                 else jax.device_put(batch, self._batch_sh))
+            return self._fwd(self.variables, x)
         from ubresnet_tpu.ops.sparse import sparsify
 
         sp = sparsify(batch[..., 0], bucket=self.sparse_bucket)
@@ -89,8 +114,8 @@ class PrecroppedRunner:
             sp["values"] = np.pad(sp["values"], ((0, 0), (0, pad)))
         return self._fwd_sparse(
             self.variables,
-            jax.device_put(sp["indices"]),
-            jax.device_put(sp["values"]),
+            jax.device_put(sp["indices"], self._coo_sh),
+            jax.device_put(sp["values"], self._coo_sh),
             batch.shape[1:3],
         )
 
