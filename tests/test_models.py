@@ -127,3 +127,56 @@ def test_bf16_policy_output_is_f32():
     # params stored f32
     k = variables["params"]["stem"]["conv"]["kernel"]
     assert k.dtype == jnp.float32
+
+
+def test_remat_grad_and_stats_parity():
+    """Policy.remat: identical params tree, identical forward, grads,
+    and batch_stats updates vs the un-rematted model (f32 — the
+    recompute is deterministic), in the packed zone."""
+    import dataclasses
+
+    pol = Policy(pack_width=8, compute_dtype=jnp.float32)
+    cfg = UResNetConfig(num_classes=3, input_channels=1, inplanes=8)
+    base = UResNet(config=cfg, policy=pol)
+    rem = UResNet(config=cfg, policy=dataclasses.replace(pol, remat=True))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
+    variables = base.init(jax.random.PRNGKey(0), x, train=True)
+    vr = rem.init(jax.random.PRNGKey(0), x, train=True)
+    assert jax.tree_util.tree_structure(vr) == jax.tree_util.tree_structure(
+        variables
+    )
+
+    def run(model):
+        def loss_fn(params):
+            out, upd = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return jnp.mean(out**2), upd
+
+        (loss, upd), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        return loss, upd, g
+
+    l0, u0, g0 = run(base)
+    l1, u1, g1 = run(rem)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(u0), jax.tree_util.tree_leaves(u1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
+    # the recompute reassociates f32 reductions, and BN train-mode
+    # grads carry inherent E[x²]−E[x]² cancellation noise
+    # (tests/test_pallas_conv.py:254) — near-zero leaves shift by
+    # ~1e-5 absolute, so tolerance is anchored to the global grad
+    # scale, not each leaf's own.
+    gmax = max(
+        float(np.abs(np.asarray(l)).max())
+        for l in jax.tree_util.tree_leaves(g0)
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5 * gmax
+        )

@@ -359,3 +359,93 @@ def test_quant_eval_requires_calibration():
     )
     with pytest.raises(ValueError, match="calibrate"):
         model.apply(variables, jnp.zeros((1, 32, 32, 1)), train=False)
+
+
+def test_fake_quant_weight_grid_and_ste():
+    """QAT weight fake-quant: values land exactly on the per-channel
+    int8 grid within the int8 range, and the straight-through gradient
+    is the identity."""
+    from ubresnet_tpu.ops.quant import fake_quant_weight
+
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32)) * 0.2
+    wq = fake_quant_weight(w)
+    sw = np.asarray(weight_scales(w))
+    grid = np.asarray(wq) / sw
+    assert np.abs(grid - np.round(grid)).max() < 1e-4
+    assert np.abs(grid).max() <= 127.0 + 1e-4
+    # rounding error bounded by half a step
+    assert (np.abs(np.asarray(wq - w)) <= sw / 2 + 1e-7).all()
+
+    cot = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32))
+    g = jax.grad(lambda v: jnp.sum(fake_quant_weight(v) * cot))(w)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(cot), rtol=1e-6)
+
+
+def test_fake_quant_act_grid_clip_ste():
+    """QAT activation fake-quant: dynamic abs-max scale puts every
+    value on the int8 grid with identity gradient; percentile mode
+    clips outliers and zeroes their gradient; all-zero input passes
+    through."""
+    from ubresnet_tpu.ops.quant import fake_quant_act
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    y = fake_quant_act(x)
+    s = float(jnp.max(jnp.abs(x))) / 127.0
+    grid = np.asarray(y) / s
+    assert np.abs(grid - np.round(grid)).max() < 1e-3
+    assert np.abs(np.asarray(y - x)).max() <= s / 2 + 1e-6
+    cot = jnp.asarray(rng.randn(*x.shape).astype(np.float32))
+    g = jax.grad(lambda v: jnp.sum(fake_quant_act(v) * cot))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(cot), rtol=1e-6)
+
+    # percentile mode: the lone outlier clips (value saturates at the
+    # percentile grid's top) and its gradient is zero
+    xo = x.at[0, 0, 0, 0].set(1e4)
+    yo = fake_quant_act(xo, percentile=99.0)
+    assert float(yo[0, 0, 0, 0]) < 1e3
+    go = jax.grad(lambda v: jnp.sum(fake_quant_act(v, percentile=99.0)))(xo)
+    assert float(go[0, 0, 0, 0]) == 0.0
+    assert float(np.abs(np.asarray(go)).mean()) > 0.5  # bulk passes
+
+    z = jnp.zeros((2, 4, 4, 3), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(fake_quant_act(z)), 0.0)
+
+
+def test_qat_model_trains_and_matches_ptq():
+    """quant_train end-to-end: a train-mode forward/backward runs with
+    finite nonzero grads, and the QAT eval forward sits close to the
+    PTQ int8 eval of the same weights (same grid, calibrated scales)."""
+    from ubresnet_tpu.train import init_model
+
+    pol = Policy(pack_width=8, compute_dtype=jnp.float32, quant_train=True)
+    model = _uresnet(pol)
+    batches = _calib_batches()
+    x = jnp.asarray(batches[0])
+    variables = init_model(model, jax.random.PRNGKey(0), x)
+
+    def loss_fn(params):
+        out, upd = model.apply(
+            {**variables, "params": params}, x, train=True,
+            mutable=["batch_stats"],
+        )
+        return -jnp.mean(out)
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+    # QAT eval (fake-quant, dynamic scales) ≈ PTQ int8 eval (same
+    # int8 grids, abs-max scales calibrated on the same batch)
+    qat_eval = np.asarray(jnp.exp(model.apply(variables, x, train=False)))
+    f32pol = Policy(pack_width=8, compute_dtype=jnp.float32)
+    f32m = _uresnet(f32pol)
+    qvars = calibrate(f32m, variables, [np.asarray(x)])
+    ptqm = f32m.clone(policy=dataclasses.replace(f32pol, quant_eval=True))
+    ptq = np.asarray(jnp.exp(ptqm.apply(qvars, x, train=False)))
+    assert np.abs(qat_eval - ptq).mean() < 0.02
+    agree = (qat_eval.argmax(-1) == ptq.argmax(-1)).mean()
+    assert agree > 0.95, f"argmax agreement {agree}"

@@ -270,6 +270,20 @@ class ModelConfig:
     input_channels: int = 1
     inplanes: int = 16
     precision: str = "bf16"  # bf16 | f32
+    # int8 quantization-aware finetuning (core/precision.py
+    # Policy.quant_train): fake-quantize packed conv/deconv inputs and
+    # kernels with straight-through gradients so the finetuned weights
+    # anticipate the deploy-time PTQ grid. Enable via
+    # --set model.qat=true on a checkpoint-resumed run.
+    qat: bool = False
+    # percentile for the QAT activation grid (0 = abs-max), matching
+    # the deploy-time --int8-percentile choice.
+    qat_percentile: float = 0.0
+    # stage-level gradient rematerialization (core/precision.py
+    # Policy.remat): recompute encoder/decoder stage internals in the
+    # backward pass instead of holding them in HBM — the lever for
+    # batch sizes past the memory cliff. --set model.remat=true.
+    remat: bool = False
 
 
 @dataclasses.dataclass

@@ -80,6 +80,27 @@ class Policy:
     # post-ReLU features are mostly zero — an all-pixel percentile
     # would collapse the scale to 0.
     quant_percentile: float = 0.0
+    # QAT: fake-quantize every packed ConvBN / Deconv2x input and
+    # kernel (ops/quant.fake_quant_act/_weight, straight-through
+    # estimators, dynamic per-batch act scales — no state), so
+    # finetuned weights anticipate int8 rounding. Applies to train AND
+    # eval passes while set, so validation during the finetune tracks
+    # quantized accuracy; deploy then runs the normal PTQ calibrate +
+    # Policy.tpu_int8(). The finishing lever when PTQ (+percentile)
+    # accuracy loss is still too high. Scope mirrors quant_eval (the
+    # packed zone), so requires pack_width > 0.
+    quant_train: bool = False
+    # Gradient rematerialization of every encoder/decoder stage
+    # (flax nn.remat = lifted jax.checkpoint): the backward pass
+    # recomputes each stage's internal activations from its input
+    # instead of holding them in HBM across the whole forward. Only
+    # the stage-boundary tensors (the U-Net skips, which the decoder
+    # needs anyway) stay resident, so train-step activation memory
+    # drops roughly by the stage's internal depth (~4 conv
+    # activations per DoubleResNet) at the cost of one extra forward
+    # FLOP per stage. The TPU lever for batch sizes past the HBM
+    # cliff; off by default because small batches are compute-bound.
+    remat: bool = False
 
     @staticmethod
     def tpu() -> "Policy":

@@ -128,6 +128,14 @@ class PackedConv(nn.Module):
             if self.use_bias
             else None
         )
+        if self.policy.quant_train and not self.is_initializing():
+            # QAT (ops/quant.py): per-output-channel int8 rounding of
+            # the kernel with a straight-through gradient — the
+            # optimizer steps against the deploy-time quantized
+            # weights. Before params_only so fused consumers get it.
+            from ubresnet_tpu.ops.quant import fake_quant_weight
+
+            kernel = fake_quant_weight(kernel)
         if params_only:  # fused eval path reads the params directly
             return kernel, bias
         cdt = self.policy.compute_dtype
@@ -274,6 +282,20 @@ class ConvBN(nn.Module):
                 calib_batch_range(x, self.policy.quant_percentile)
                 / 127.0,
             )
+        if (
+            self.policy.quant_train
+            and self.packed
+            and not params_only
+            and not self.is_initializing()
+        ):
+            # QAT (ops/quant.py): round this conv's input to the int8
+            # grid the PTQ eval path will use (straight-through
+            # gradient, dynamic per-batch scale). Scope mirrors
+            # quant_eval — the packed zone; the kernel quantizes
+            # inside PackedConv so every dispatch path below sees it.
+            from ubresnet_tpu.ops.quant import fake_quant_act
+
+            x = fake_quant_act(x, self.policy.quant_percentile)
         if self.packed:
             if self.dilation != 1:
                 raise NotImplementedError("packed conv with dilation")
@@ -549,6 +571,10 @@ class BasicBlock(nn.Module):
             and not self.is_initializing()
             and self.stride == 1
             and 2 * self.features <= 128
+            # QAT eval stays on the per-ConvBN path: the whole-block
+            # kernel keeps its intermediate in VMEM, which would skip
+            # the mid-block fake-quant that quant_train models.
+            and not pol.quant_train
         )
         pe = _p_eff(p, c_x, x.shape[2] * p) if p else p
         # Whole-block Pallas kernel (eval): conv1+BN+ReLU, conv2+BN+
@@ -768,6 +794,16 @@ class Deconv2x(nn.Module):
                 "kernel", msra_normal(), (4, 4, cin, self.features),
                 self.policy.param_dtype,
             )
+            if self.policy.quant_train and not self.is_initializing():
+                # QAT: mirror the deconv quant_eval path — fake-quant
+                # both the input and the kernel (ops/quant.py STEs).
+                from ubresnet_tpu.ops.quant import (
+                    fake_quant_act,
+                    fake_quant_weight,
+                )
+
+                x = fake_quant_act(x, self.policy.quant_percentile)
+                kernel = fake_quant_weight(kernel)
             th = target_hw[0] if target_hw is not None else 2 * x.shape[1]
             if target_hw is not None and target_hw[1] != 2 * x.shape[2] * p:
                 raise ValueError("packed deconv requires exact 2x width")

@@ -89,14 +89,29 @@ class UResNet(nn.Module):
                         name="stem")(xin, train=train)
             y = stem_pool(x0, ad=pol.fused_train)
 
+        # Stage rematerialization (Policy.remat): each encoder/decoder
+        # stage recomputes its internals on the backward pass; only
+        # the stage-boundary tensors (the skips — live anyway) are
+        # saved. nn.remat on a (module, *tensors) function keeps the
+        # parameter tree identical to the un-rematted model, so
+        # checkpoints are interchangeable. `train` is closed over
+        # (a static Python bool, never traced).
+        use_remat = pol.remat and train
+
+        def _stage(mdl, *xs):
+            return mdl(*xs, train=train)
+
+        stage_call = nn.remat(_stage) if use_remat else _stage
+
         # Encoder: stage i has inplanes * 2^i channels; stride 1 then 2s.
         skips = [x0]
         for i in range(cfg.depth):
             feats = cfg.inplanes * (2 ** (i + 1))
             stride = 1 if i == 0 else 2
             stage_packed = p_enc1 if (use_pack and i == 0) else 0
-            y = DoubleResNet(feats, stride, packed=stage_packed, policy=pol,
-                             name=f"enc{i + 1}")(y, train=train)
+            y = stage_call(
+                DoubleResNet(feats, stride, packed=stage_packed, policy=pol,
+                             name=f"enc{i + 1}"), y)
             skips.append(y)
             if use_pack and i == 0:
                 y = unpack(y, p_enc1)  # deeper stages run unpacked
@@ -111,8 +126,9 @@ class UResNet(nn.Module):
             elif use_pack and i == 1 and p_stage != p_for(2 * feats):
                 # repack between dec2 and dec1 (pure reshape)
                 y = pack(unpack(y, p_for(2 * feats)), p_stage)
-            y = DecoderBlock(feats, feats, packed=p_stage, policy=pol,
-                             name=f"dec{i}")(y, skips[i - 1], train=train)
+            y = stage_call(
+                DecoderBlock(feats, feats, packed=p_stage, policy=pol,
+                             name=f"dec{i}"), y, skips[i - 1])
 
         # Head (ub_uresnet.py:58-66): conv10+BN+ReLU, conv11, log-softmax.
         p_head = p_for(cfg.final_conv_kernels) if use_pack else 0

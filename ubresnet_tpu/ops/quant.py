@@ -69,6 +69,41 @@ def quantize_act(x: jax.Array, sx: jax.Array) -> jax.Array:
     ).astype(jnp.int8)
 
 
+def fake_quant_weight(w: jax.Array) -> jax.Array:
+    """QAT fake-quantization of an (kh, kw, ci, co) kernel: round to
+    the per-output-channel int8 grid and dequantize, with a
+    straight-through estimator (gradient = identity; weight-range
+    scales track the live weights, so no clipping region exists)."""
+    wf = w.astype(jnp.float32)
+    sw = weight_scales(wf)
+    wq = jnp.round(wf / sw) * sw
+    return (wf + jax.lax.stop_gradient(wq - wf)).astype(w.dtype)
+
+
+def fake_quant_act(x: jax.Array, percentile: float = 0.0) -> jax.Array:
+    """QAT fake-quantization of an activation tensor with a DYNAMIC
+    per-batch scale (stateless — no 'quant' collection during
+    training; deploy calibrates the finetuned weights with the normal
+    PTQ ``calibrate`` afterwards): clip to the batch range, round to
+    the int8 grid, dequantize. Straight-through estimator: gradient is
+    identity inside the clip range, zero outside (the clip's own VJP).
+    All-zero batches pass through unchanged."""
+    xf = x.astype(jnp.float32)
+    s = jax.lax.stop_gradient(
+        calib_batch_range(xf, percentile)
+    ) / INT8_MAX
+    lim = s * INT8_MAX
+    # where-based clip: lax.min/max split the gradient 0.5/0.5 at
+    # exact ties, and the abs-max element always ties the boundary —
+    # this keeps the STE gradient exactly 1 on [-lim, lim].
+    xc = jnp.where(
+        jnp.abs(xf) <= lim, xf, jnp.sign(xf) * lim
+    )
+    xq = jnp.round(xc / jnp.maximum(s, 1e-12)) * s
+    y = xc + jax.lax.stop_gradient(xq - xc)
+    return jnp.where(s > 0, y, xf).astype(x.dtype)
+
+
 def calibrate(
     model: Any,
     variables: Dict[str, Any],

@@ -99,6 +99,19 @@ class Trainer:
     def __init__(self, cfg: TrainConfig, mesh=None):
         self.cfg = cfg
         policy = Policy.f32() if cfg.model.precision == "f32" else Policy.tpu()
+        if cfg.model.qat or cfg.model.remat:
+            import dataclasses as _dc
+
+            policy = _dc.replace(
+                policy,
+                quant_train=cfg.model.qat or policy.quant_train,
+                quant_percentile=(
+                    cfg.model.qat_percentile
+                    if cfg.model.qat
+                    else policy.quant_percentile
+                ),
+                remat=cfg.model.remat or policy.remat,
+            )
         self.model = get_model(
             cfg.model.name,
             policy=policy,
