@@ -180,3 +180,43 @@ def test_remat_grad_and_stats_parity():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5 * gmax
         )
+
+
+def test_aspp_remat_grad_parity():
+    """Policy.remat on ASPPResNet (stages + ASPP pyramids): identical
+    tree, forward, and grads vs un-rematted, as for UResNet."""
+    import dataclasses
+
+    pol = Policy(pack_width=8, compute_dtype=jnp.float32)
+    cfg = ASPPResNetConfig(num_classes=3, input_channels=1, inplanes=8,
+                           aspp_branch_features=8)
+    base = ASPPResNet(config=cfg, policy=pol)
+    rem = ASPPResNet(config=cfg, policy=dataclasses.replace(pol, remat=True))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 1))
+    variables = base.init(jax.random.PRNGKey(0), x, train=True)
+    vr = rem.init(jax.random.PRNGKey(0), x, train=True)
+    assert jax.tree_util.tree_structure(vr) == jax.tree_util.tree_structure(
+        variables
+    )
+
+    def run(model):
+        def loss_fn(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return jnp.mean(out**2)
+
+        return jax.value_and_grad(loss_fn)(variables["params"])
+
+    l0, g0 = run(base)
+    l1, g1 = run(rem)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    gmax = max(
+        float(np.abs(np.asarray(l)).max())
+        for l in jax.tree_util.tree_leaves(g0)
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5 * gmax
+        )

@@ -84,43 +84,59 @@ class ASPPResNet(nn.Module):
             )
             y = stem_pool(x0, ad=pol.fused_train)
 
+        # Stage rematerialization (Policy.remat), as in UResNet: the
+        # (module, *tensors) closure keeps parameter paths unchanged.
+        use_remat = pol.remat and train
+
+        def _stage(mdl, *xs):
+            return mdl(*xs, train=train)
+
+        stage_call = nn.remat(_stage) if use_remat else _stage
+
         encs = []
         for i in range(5):
             feats = p * (2 ** (i + 1))
             stride = 1 if i == 0 else 2
             stage_packed = pw if (use_pack and i == 0) else 0
-            y = DoubleResNet(feats, stride, packed=stage_packed, policy=pol,
-                             name=f"enc{i + 1}")(y, train=train)
+            y = stage_call(
+                DoubleResNet(feats, stride, packed=stage_packed, policy=pol,
+                             name=f"enc{i + 1}"), y)
             encs.append(y)
             if use_pack and i == 0:
                 y = unpack(y, pw)
         e1, e2, e3, e4, e5 = encs
 
         def widen(e, feats, name):
-            a = ASPP(cfg.aspp_branch_features, policy=pol, name=f"aspp{name}")(
-                e, train=train
-            )
-            a = ASPPCombine(feats, policy=pol, name=f"aspp{name}_post")(a, train=train)
+            # the ASPP pyramid's four dilated branches are the widest
+            # activations at these stages — prime remat targets
+            a = stage_call(
+                ASPP(cfg.aspp_branch_features, policy=pol,
+                     name=f"aspp{name}"), e)
+            a = stage_call(
+                ASPPCombine(feats, policy=pol, name=f"aspp{name}_post"), a)
             return jnp.concatenate([a, e.astype(a.dtype)], axis=-1)
 
         e3_skip = widen(e3, p * 8, "3")
         e4_skip = widen(e4, p * 16, "4")
         e5_skip = widen(e5, p * 32, "5")
 
-        y = DecoderBlock(p * 16, p * 32, policy=pol, name="dec5")(
-            e5_skip, e4_skip, train=train
-        )
-        y = DecoderBlock(p * 8, p * 16, policy=pol, name="dec4")(
-            y, e3_skip, train=train
-        )
-        y = DecoderBlock(p * 4, p * 4, policy=pol, name="dec3")(y, e2, train=train)
+        y = stage_call(
+            DecoderBlock(p * 16, p * 32, policy=pol, name="dec5"),
+            e5_skip, e4_skip)
+        y = stage_call(
+            DecoderBlock(p * 8, p * 16, policy=pol, name="dec4"),
+            y, e3_skip)
+        y = stage_call(
+            DecoderBlock(p * 4, p * 4, policy=pol, name="dec3"), y, e2)
         if use_pack:
             y = pack(y, pw)
         dp = pw if use_pack else 0
-        y = DecoderBlock(p * 2, p * 2, packed=dp, policy=pol, name="dec2")(
-            y, e1, train=train)
-        y = DecoderBlock(p, p, packed=dp, policy=pol, name="dec1")(
-            y, x0, train=train)
+        y = stage_call(
+            DecoderBlock(p * 2, p * 2, packed=dp, policy=pol, name="dec2"),
+            y, e1)
+        y = stage_call(
+            DecoderBlock(p, p, packed=dp, policy=pol, name="dec1"),
+            y, x0)
 
         y = ConvBN(
             cfg.final_conv_kernels, 7, 1, use_bias=True, packed=dp,
