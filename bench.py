@@ -147,16 +147,17 @@ def measure_tpu() -> dict:
     return {"crops_per_sec": crops_per_sec, "ms_per_batch": dt / ITERS * 1e3}
 
 
-def make_train_batches(n=4):
+def make_train_batches(n=4, batch=None):
     """Sparse-transfer training batches with a shared capacity so one
     compiled train step serves all of them."""
     from ubresnet_tpu.data.synthetic import synth_event
     from ubresnet_tpu.ops.sparse import sparsify_batch
 
     rng = np.random.RandomState(1)
+    batch = TRAIN_BATCH if batch is None else batch
     batches = []
     for _ in range(n):
-        evs = [synth_event(rng, (HW, HW)) for _ in range(TRAIN_BATCH)]
+        evs = [synth_event(rng, (HW, HW)) for _ in range(batch)]
         batches.append(
             sparsify_batch(
                 {
@@ -182,12 +183,15 @@ def make_train_batches(n=4):
     return batches
 
 
-def measure_tpu_train(fused: bool = False, batches=None) -> dict:
+def measure_tpu_train(fused: bool = False, batches=None,
+                      remat: bool = False, batch: int = 0) -> dict:
     """Train-step throughput; ``fused=True`` measures the
     stats-decoupled Pallas train zone (ops/pallas_train.py) — the A/B
     that decides Policy.tpu()'s fused_train default (NOTES.md queue;
     run here so the driver's end-of-round bench records it even when
-    the tunnel is down for the whole build session)."""
+    the tunnel is down for the whole build session). ``remat=True`` +
+    a bigger ``batch`` probes whether stage rematerialization buys
+    net throughput past the activation-memory cliff."""
     import dataclasses
 
     import jax
@@ -197,9 +201,12 @@ def measure_tpu_train(fused: bool = False, batches=None) -> dict:
     from ubresnet_tpu.models import get_model
     from ubresnet_tpu.train import build_train_step, create_train_state, make_optimizer
 
+    batch = batch or TRAIN_BATCH
     policy = Policy.tpu()
     if fused:
         policy = dataclasses.replace(policy, fused_train=True)
+    if remat:
+        policy = dataclasses.replace(policy, remat=True)
     model = get_model(
         "uresnet", policy=policy, input_channels=1, inplanes=INPLANES
     )
@@ -209,7 +216,7 @@ def measure_tpu_train(fused: bool = False, batches=None) -> dict:
     )
     step = build_train_step(num_classes=3, sparse_hw=(HW, HW))
     if batches is None:
-        batches = make_train_batches()
+        batches = make_train_batches(batch=batch)
 
     def put(b):
         return {k: jax.device_put(v) if isinstance(v, np.ndarray) else v
@@ -225,10 +232,10 @@ def measure_tpu_train(fused: bool = False, batches=None) -> dict:
 
     state, _ = run_window(state, 2)  # compile + warm
     state, dt = run_window(state, TRAIN_ITERS)
-    rate = TRAIN_ITERS * TRAIN_BATCH / dt
-    tag = "fused" if fused else "xla-packed"
+    rate = TRAIN_ITERS * batch / dt
+    tag = ("fused" if fused else "xla-packed") + ("+remat" if remat else "")
     log(f"tpu sparse h2d+train-step [{tag}]: {rate:.1f} crops/s "
-        f"({dt / TRAIN_ITERS * 1e3:.1f} ms/batch of {TRAIN_BATCH})")
+        f"({dt / TRAIN_ITERS * 1e3:.1f} ms/batch of {batch})")
     return {"crops_per_sec": rate, "ms_per_batch": dt / TRAIN_ITERS * 1e3}
 
 
@@ -622,6 +629,23 @@ def main():
             }
         except Exception as exc:  # record, don't erase the headline
             result["train_fused"] = {"error": f"{type(exc).__name__}: {exc}"}
+        try:
+            # remat at 2x batch: does trading one extra stage-forward
+            # for activation HBM buy net throughput? (Policy.remat,
+            # docs/roofline.md round-4 levers)
+            with section_timeout(SECTION_TIMEOUT_S):
+                remat = measure_tpu_train(remat=True,
+                                          batch=2 * TRAIN_BATCH)
+            result["train_remat_2x"] = {
+                "value": round(remat["crops_per_sec"], 2),
+                "unit": "crops/s",
+                "batch": 2 * TRAIN_BATCH,
+                "speedup_vs_default_train": round(
+                    remat["crops_per_sec"] / train["crops_per_sec"], 3
+                ),
+            }
+        except Exception as exc:
+            result["train_remat_2x"] = {"error": f"{type(exc).__name__}: {exc}"}
         try:
             with section_timeout(SECTION_TIMEOUT_S):
                 deploy = measure_deploy_cli()
