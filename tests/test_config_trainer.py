@@ -206,3 +206,35 @@ def test_cli_overrides(tmp_path):
     assert cfg.num_iters == 3
     with pytest.raises(SystemExit):
         apply_overrides(cfg, ["bogus.key=1"])
+
+
+@pytest.mark.slow
+def test_trainer_qat_remat_config(tmp_path):
+    """model.qat / model.remat config keys reach the Policy and the
+    loop still trains + checkpoints (the QAT-finetune entry point:
+    resume a checkpoint with --set model.qat=true)."""
+    train_file = make_synthetic_file(
+        str(tmp_path / "tr.uevt"), n_events=4, hw=(64, 64)
+    )
+    cfg = TrainConfig.from_dict(
+        {
+            "model": {"inplanes": 8, "qat": True, "qat_percentile": 99.5,
+                      "remat": True},
+            "optim": {"lr": 1e-3},
+            "train_data": {"files": [train_file], "batch_size": 2},
+            "num_iters": 2,
+            "checkpoint_every": 2,
+            "print_every": 1,
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "log_dir": str(tmp_path / "logs"),
+            "model_axis": 1,
+        }
+    )
+    from ubresnet_tpu.train.trainer import Trainer, train
+
+    t = Trainer(cfg)
+    assert t.model.policy.quant_train and t.model.policy.remat
+    assert t.model.policy.quant_percentile == 99.5
+    summary = train(cfg)
+    assert "error" not in summary, summary.get("error")
+    assert summary["final_iter"] == 2
