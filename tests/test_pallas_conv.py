@@ -47,6 +47,7 @@ def _ref_conv(x, w, g, b, act, pre_act, res=None):
         (8, 16, 16, 7, False, 16),  # head-style 7x7
         (8, 16, 3, 7, False, 16),  # classifier-style
         (8, 16, 16, 3, True, 52),  # wholeview-pool cell count (52=4*13)
+        (16, 16, 16, 3, False, 16),  # pe=16 / N=256 multi-MXU probe
     ],
 )
 def test_fused_conv_matches_reference(rng, p, ci, co, k, res, wc):
