@@ -24,7 +24,7 @@ import os
 import subprocess
 import sys
 import time
-from typing import List
+from typing import List, Optional
 
 
 def emit_sbatch(sweep_path: str, sweep: dict, out_path: str):
@@ -46,11 +46,19 @@ python -m ubresnet_tpu.cli.launch --sweep {sweep_path} --job-index $SLURM_ARRAY_
     return out_path
 
 
-def run_job(sweep: dict, index: int, workdir: str) -> int:
+def run_job(sweep: dict, index: int, workdir: str,
+            retries: Optional[int] = None) -> int:
+    """Run one sweep job; on nonzero exit relaunch it up to `retries`
+    times with resume=true, continuing from the latest checkpoint —
+    automatic elasticity for the reference's "high infant mortality
+    ... check if they launched and rerun" grid workflow
+    (grid_scripts/README.md), which was manual there."""
     job = sweep["jobs"][index]
     name = job.get("name", f"job{index}")
     jobdir = os.path.join(workdir, name)
     os.makedirs(jobdir, exist_ok=True)
+    if retries is None:
+        retries = int(job.get("max_restarts", sweep.get("max_restarts", 0)))
     args = [
         sys.executable,
         "-m",
@@ -65,49 +73,100 @@ def run_job(sweep: dict, index: int, workdir: str) -> int:
     for key, val in job.get("set", {}).items():
         args += ["--set", f"{key}={json.dumps(val)}"]
     logfile = os.path.join(jobdir, "train.log")
-    with open(logfile, "w") as log:
-        proc = subprocess.Popen(args, stdout=log, stderr=subprocess.STDOUT)
-        return proc.wait()
+    code = 1
+    for attempt in range(retries + 1):
+        cmd = list(args) + (["--set", "resume=true"] if attempt else [])
+        with open(logfile, "w" if attempt == 0 else "a") as log:
+            code = subprocess.Popen(
+                cmd, stdout=log, stderr=subprocess.STDOUT
+            ).wait()
+        if code == 0:
+            break
+        if attempt < retries:
+            print(
+                f"job {name} exited {code}; restarting with resume "
+                f"({attempt + 1}/{retries})",
+                flush=True,
+            )
+    return code
 
 
 def run_distributed(config: str, n_processes: int, workdir: str,
                     coordinator: str = "127.0.0.1:0",
-                    overrides=None) -> int:
+                    overrides=None, retries: int = 0) -> int:
     """ONE training across n_processes via jax.distributed — the
     capability the reference lacks entirely (torch.distributed imported
     but never called, SURVEY.md §2.3). Exports the UBTPU_* env contract
     consumed by parallel/distributed.initialize(); on a real cluster
     the scheduler sets the same variables per task (e.g. from
-    SLURM_PROCID / the head-node address)."""
-    host, _, port = coordinator.partition(":")
-    if port in ("", "0"):
-        import socket
+    SLURM_PROCID / the head-node address).
 
-        s = socket.socket()
-        s.bind((host or "127.0.0.1", 0))
-        port = str(s.getsockname()[1])
-        s.close()
-    coordinator = f"{host or '127.0.0.1'}:{port}"
+    With retries > 0 the whole gang restarts together on any process
+    failure (SPMD processes are lockstep — a lone survivor would hang
+    in collectives, so stragglers are terminated first) and resumes
+    from the latest checkpoint."""
     os.makedirs(workdir, exist_ok=True)
-    procs = []
-    for pid in range(n_processes):
-        env = dict(os.environ)
-        env.update(
-            UBTPU_COORDINATOR=coordinator,
-            UBTPU_NUM_PROCESSES=str(n_processes),
-            UBTPU_PROCESS_ID=str(pid),
-        )
-        cmd = [sys.executable, "-m", "ubresnet_tpu.cli.train",
-               "--config", os.path.abspath(config)]
-        for ov in overrides or []:
-            cmd += ["--set", ov]
-        log = open(os.path.join(workdir, f"proc{pid}.log"), "w")
-        procs.append(subprocess.Popen(cmd, env=env, stdout=log,
-                                      stderr=subprocess.STDOUT))
-        print(f"launched process {pid} (pid {procs[-1].pid})", flush=True)
-    codes = [p.wait() for p in procs]
-    print(f"distributed run done: exit codes {codes}")
-    return max(codes)
+    code = 1
+    for attempt in range(retries + 1):
+        # fresh coordinator port per attempt: the previous attempt's
+        # coordination service may hold the old one in TIME_WAIT
+        host, _, port = coordinator.partition(":")
+        if port in ("", "0"):
+            import socket
+
+            s = socket.socket()
+            s.bind((host or "127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+            s.close()
+        coord = f"{host or '127.0.0.1'}:{port}"
+        procs = []
+        for pid in range(n_processes):
+            env = dict(os.environ)
+            env.update(
+                UBTPU_COORDINATOR=coord,
+                UBTPU_NUM_PROCESSES=str(n_processes),
+                UBTPU_PROCESS_ID=str(pid),
+            )
+            cmd = [sys.executable, "-m", "ubresnet_tpu.cli.train",
+                   "--config", os.path.abspath(config)]
+            for ov in overrides or []:
+                cmd += ["--set", ov]
+            if attempt:
+                cmd += ["--set", "resume=true"]
+            log = open(os.path.join(workdir, f"proc{pid}.log"),
+                       "w" if attempt == 0 else "a")
+            procs.append(subprocess.Popen(cmd, env=env, stdout=log,
+                                          stderr=subprocess.STDOUT))
+            print(f"launched process {pid} (pid {procs[-1].pid})", flush=True)
+        codes = [None] * n_processes
+        killed = False
+        while any(c is None for c in codes):
+            for i, p in enumerate(procs):
+                if codes[i] is None:
+                    codes[i] = p.poll()
+            failed = any(c not in (None, 0) for c in codes)
+            live = [p for i, p in enumerate(procs) if codes[i] is None]
+            if failed and live and not killed:
+                print(
+                    "a process failed; terminating the rest of the gang",
+                    flush=True,
+                )
+                for p in live:
+                    p.terminate()
+                killed = True
+            if live:
+                time.sleep(0.5)
+        code = max(codes)
+        print(f"distributed run done: exit codes {codes}", flush=True)
+        if code == 0:
+            break
+        if attempt < retries:
+            print(
+                f"restarting all {n_processes} processes with resume "
+                f"({attempt + 1}/{retries})",
+                flush=True,
+            )
+    return code
 
 
 def main(argv=None):
@@ -133,13 +192,18 @@ def main(argv=None):
     )
     ap.add_argument("--emit-sbatch", default=None, metavar="PATH",
                     help="write a SLURM array script and exit")
+    ap.add_argument("--retries", type=int, default=None,
+                    help="elastic restarts per job on failure (resume "
+                         "from the latest checkpoint); sweep specs may "
+                         "set max_restarts globally or per job")
     args = ap.parse_args(argv)
 
     if args.distributed:
         if not args.config:
             ap.error("--distributed requires --config")
         return run_distributed(args.config, args.distributed, args.workdir,
-                               args.coordinator, args.overrides)
+                               args.coordinator, args.overrides,
+                               retries=args.retries or 0)
     if not args.sweep:
         ap.error("--sweep required (or use --distributed)")
 
@@ -153,7 +217,8 @@ def main(argv=None):
 
     os.makedirs(args.workdir, exist_ok=True)
     if args.job_index is not None:
-        return run_job(sweep, args.job_index, args.workdir)
+        return run_job(sweep, args.job_index, args.workdir,
+                       retries=args.retries)
 
     stagger = float(sweep.get("stagger_seconds", 0))
     procs: List[subprocess.Popen] = []
@@ -167,6 +232,8 @@ def main(argv=None):
             "--sweep", args.sweep, "--workdir", args.workdir,
             "--job-index", str(i),
         ]
+        if args.retries is not None:
+            cmd += ["--retries", str(args.retries)]
         log = open(os.path.join(jobdir, "launch.log"), "w")
         procs.append(subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT))
         print(f"launched {name} (pid {procs[-1].pid})", flush=True)

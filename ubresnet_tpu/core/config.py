@@ -313,6 +313,14 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     resume: bool = False
     max_nan_recoveries: int = 3  # non-finite steps skipped before abort
+    # fault injection: hard-kill the process (os._exit) once, right
+    # after completing this iteration — exercises elastic restart
+    # (cli/launch --retries). One-shot: a marker file in
+    # checkpoint_dir suppresses re-injection after the resumed run
+    # passes the same iteration. The reference has no fault injection
+    # at all (SURVEY.md §5.3); its grid jobs with "high infant
+    # mortality" were re-run by hand (grid_scripts/README.md).
+    fault_at_iter: Optional[int] = None
     remat: bool = False  # jax.checkpoint the forward (memory for FLOPs)
     log_dir: Optional[str] = None
     seed: int = 0

@@ -13,6 +13,7 @@ of DataParallel.
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 import traceback
@@ -323,6 +324,8 @@ class Trainer:
                 if (it + 1) % cfg.checkpoint_every == 0:
                     save_checkpoint(cfg.checkpoint_dir, state)
                 it += 1
+                if cfg.fault_at_iter and it == cfg.fault_at_iter:
+                    self._maybe_inject_fault(it)
         except Exception:
             # contain, checkpoint, re-raise context in summary
             # (reference breaks the loop and saves, wlarcv2:230-251)
@@ -345,6 +348,21 @@ class Trainer:
             }
         )
         return summary
+
+    def _maybe_inject_fault(self, it: int):
+        """One-shot hard kill (no cleanup, no final checkpoint — the
+        realistic infant-mortality case). The marker file makes the
+        resumed run sail past the same iteration."""
+        marker = os.path.join(
+            os.path.abspath(self.cfg.checkpoint_dir), ".fault_injected"
+        )
+        if os.path.exists(marker):
+            return
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(str(it))
+        print(f"fault injection: hard exit after iter {it}", flush=True)
+        os._exit(23)
 
     def validate(self, state, valid_iter, n_batches: int) -> dict:
         meters = MeterDict()
