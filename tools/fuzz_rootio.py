@@ -1,17 +1,19 @@
-"""Fuzz the native ROOT reader against truncated / bit-flipped files.
+"""Fuzz the native file readers against truncated / bit-flipped files.
 
-cpp/rootio.cpp parses untrusted .root files inside the Python process
-(ctypes); a missing bounds check or an unchecked allocation is a
-process kill (SIGSEGV / std::terminate on bad_alloc), not an
-exception. This harness mutates a known-good writer-produced file
-deterministically and opens+decodes every mutant in a worker
+cpp/rootio.cpp and cpp/uevt.cpp parse untrusted files inside the
+Python process (ctypes); a missing bounds check or an unchecked
+allocation is a process kill (SIGSEGV / std::terminate on bad_alloc),
+not an exception. This harness mutates a known-good writer-produced
+file deterministically and opens+decodes every mutant in a worker
 subprocess, so crashes are observed instead of suffered. Any Python
 exception is a PASS (clean error surface); only process death or a
 hang is a finding.
 
 Usage:
-  python tools/fuzz_rootio.py            # full sweep, prints summary
-  python tools/fuzz_rootio.py --cases 128  # smaller sweep
+  python tools/fuzz_rootio.py                  # .root sweep, summary
+  python tools/fuzz_rootio.py --format uevt    # .uevt sweep (native +
+                                               # pure-Python readers)
+  python tools/fuzz_rootio.py --cases 128      # smaller sweep
 Exit code 0 = no crashes/hangs.
 """
 from __future__ import annotations
@@ -70,6 +72,39 @@ def mutate(base: bytes, idx: int, n_trunc: int) -> bytes:
     return bytes(b)
 
 
+def make_base_uevt(path: str) -> str:
+    from ubresnet_tpu.data import make_synthetic_file
+
+    return make_synthetic_file(path, n_events=3, hw=(32, 32))
+
+
+def probe_uevt(path: str) -> str:
+    """Native (cpp/uevt.cpp) + pure-Python readers over a mutant."""
+    from ubresnet_tpu.data.native import NativeEventFile, native_available
+    from ubresnet_tpu.data.uevt import EventFileReader
+
+    tag = "decoded"
+    if native_available():
+        try:
+            nf = NativeEventFile(path)
+            for e in range(min(len(nf), 3)):
+                for prod in ("wire", "segment", "weight"):
+                    try:
+                        nf.read_image(e, prod)
+                    except Exception:
+                        tag = "native-error"
+            nf.close()
+        except Exception:
+            tag = "native-error"
+    try:
+        r = EventFileReader(path)
+        for e in range(min(len(r), 3)):
+            r.read_entry(e)
+    except Exception:
+        return tag if tag != "decoded" else "py-error"
+    return tag
+
+
 def probe(path: str) -> str:
     """Open + fully decode; returns a short outcome tag."""
     from ubresnet_tpu.data.rootio import RootEventReader, RootFile
@@ -96,9 +131,10 @@ def probe(path: str) -> str:
 
 
 def worker(base_path: str, workdir: str, start: int, total: int,
-           n_trunc: int) -> None:
+           n_trunc: int, fmt: str = "root") -> None:
     base = open(base_path, "rb").read()
-    mut_path = os.path.join(workdir, "mut.root")
+    mut_path = os.path.join(workdir, "mut." + fmt)
+    probe_fn = probe if fmt == "root" else probe_uevt
     for idx in range(start, total):
         data = mutate(base, idx, n_trunc)
         with open(mut_path, "wb") as f:
@@ -106,19 +142,25 @@ def worker(base_path: str, workdir: str, start: int, total: int,
         print(f"BEGIN {idx}", flush=True)
         if idx == int(os.environ.get("UBTPU_FUZZ_CRASH_AT", -1)):
             os._exit(139)  # harness self-test: simulate a reader crash
-        tag = probe(mut_path)
+        tag = probe_fn(mut_path)
         print(f"OK {idx} {tag}", flush=True)
 
 
-def drive(cases: int, n_trunc: int, per_worker_timeout: float) -> int:
+def drive(cases: int, n_trunc: int, per_worker_timeout: float,
+          fmt: str = "root") -> int:
     workdir = tempfile.mkdtemp(prefix="rootio_fuzz_")
-    base_path = make_base(os.path.join(workdir, "base.root"))
-    assert probe(base_path) == "decoded", "base file must decode cleanly"
+    if fmt == "root":
+        base_path = make_base(os.path.join(workdir, "base.root"))
+        assert probe(base_path) == "decoded", "base file must decode cleanly"
+    else:
+        base_path = make_base_uevt(os.path.join(workdir, "base.uevt"))
+        assert probe_uevt(base_path) == "decoded", \
+            "base file must decode cleanly"
     crashes, hangs, tags = [], [], {}
     idx = 0
     while idx < cases:
         cmd = [sys.executable, os.path.abspath(__file__), "--worker",
-               base_path, workdir, str(idx), str(cases), str(n_trunc)]
+               base_path, workdir, str(idx), str(cases), str(n_trunc), fmt]
         proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True)
         try:
             out, _ = proc.communicate(timeout=per_worker_timeout)
@@ -147,7 +189,7 @@ def drive(cases: int, n_trunc: int, per_worker_timeout: float) -> int:
               f"{'hang' if timed_out else f'died rc={proc.returncode}'}",
               flush=True)
         idx = bad + 1
-    print(f"fuzz_rootio: {cases} cases, outcomes {tags}, "
+    print(f"fuzz_{fmt}: {cases} cases, outcomes {tags}, "
           f"{len(crashes)} crashes {crashes}, {len(hangs)} hangs {hangs}")
     return 1 if (crashes or hangs) else 0
 
@@ -158,14 +200,15 @@ def main(argv=None):
     ap.add_argument("--trunc", type=int, default=N_TRUNC_DEFAULT)
     ap.add_argument("--timeout", type=float, default=600.0,
                     help="per-worker-batch timeout (hang detection)")
-    ap.add_argument("--worker", nargs=5, metavar="ARG", default=None,
+    ap.add_argument("--format", choices=("root", "uevt"), default="root")
+    ap.add_argument("--worker", nargs=6, metavar="ARG", default=None,
                     help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
     if args.worker:
-        base, workdir, start, total, n_trunc = args.worker
-        worker(base, workdir, int(start), int(total), int(n_trunc))
+        base, workdir, start, total, n_trunc, fmt = args.worker
+        worker(base, workdir, int(start), int(total), int(n_trunc), fmt)
         return 0
-    return drive(args.cases, args.trunc, args.timeout)
+    return drive(args.cases, args.trunc, args.timeout, args.format)
 
 
 if __name__ == "__main__":

@@ -93,11 +93,16 @@ struct File {
     struct stat st;
     if (fstat(fd, &st) != 0) return false;
     size = st.st_size;
+    if (size < sizeof(Header)) return false;
     base = (const uint8_t *)mmap(nullptr, size, PROT_READ, MAP_SHARED, fd, 0);
     if (base == MAP_FAILED) return false;
     Header h;
     memcpy(&h, base, sizeof(h));
     if (memcmp(h.magic, "UEVT", 4) != 0 || h.version != 1) return false;
+    // index table must lie inside the map (fields are file-controlled)
+    if (h.index_off > size ||
+        h.n_entries > (size - h.index_off) / sizeof(IdxEntry))
+      return false;
     n_entries = h.n_entries;
     index = (const IdxEntry *)(base + h.index_off);
     return true;
@@ -112,15 +117,23 @@ struct File {
   const uint8_t *find(uint64_t entry, const char *producer, int plane,
                       ImgHdr *hdr) const {
     if (entry >= n_entries) return nullptr;
-    const uint8_t *p = base + index[entry].offset;
+    // entry span and every image walked inside it must stay within the
+    // map: offsets/counts/dims all come from the (untrusted) file
+    uint64_t off = index[entry].offset, span = index[entry].nbytes;
+    if (off > size || span > size - off) return nullptr;
+    const uint8_t *p = base + off;
+    const uint8_t *end = p + span;
+    if (size_t(end - p) < 4) return nullptr;
     uint32_t n_images;
     memcpy(&n_images, p, 4);
     p += 4;
     for (uint32_t i = 0; i < n_images; i++) {
+      if (size_t(end - p) < sizeof(ImgHdr)) return nullptr;
       ImgHdr h;
       memcpy(&h, p, sizeof(h));
       const uint8_t *payload = p + sizeof(h);
       size_t nb = (size_t)h.rows * h.cols * dtype_size(h.dtype);
+      if (nb > size_t(end - payload)) return nullptr;
       if (strncmp(h.producer, producer, 32) == 0 &&
           (plane < 0 || (int)h.plane == plane)) {
         *hdr = h;
