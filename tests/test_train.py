@@ -142,6 +142,38 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
 
 
+@pytest.mark.slow
+def test_async_checkpoint_commits_and_restores(tmp_path, rng):
+    """Async saves (the periodic-save path in the trainer) commit in
+    the background and restore identically after the wait; a restore
+    issued immediately after the save must itself wait, not read a
+    half-written directory."""
+    from ubresnet_tpu.train.checkpoint import wait_for_checkpoints
+
+    state = small_state()
+    step = build_train_step()
+    batch = synth_batch(rng)
+    for _ in range(2):
+        state, _ = step(state, batch)
+    save_checkpoint(str(tmp_path), state, async_=True)
+    # no explicit wait: restore_checkpoint must block on the in-flight
+    # write itself
+    restored = restore_checkpoint(str(tmp_path), small_state())
+    assert int(restored.step) == 2
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # mutate-after-save: the snapshot, not the live state, is on disk
+    state2, _ = step(state, batch)
+    save_checkpoint(str(tmp_path), state2, async_=True)
+    state3, _ = step(state2, batch)  # keeps devices busy post-dispatch
+    wait_for_checkpoints()
+    r2 = restore_checkpoint(str(tmp_path), small_state())
+    assert int(r2.step) == 3
+
+
 def test_average_meter():
     m = AverageMeter()
     m.update(1.0)

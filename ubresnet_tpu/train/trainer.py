@@ -30,6 +30,7 @@ from ubresnet_tpu.train.checkpoint import (
     latest_step,
     restore_checkpoint,
     save_checkpoint,
+    wait_for_checkpoints,
 )
 from ubresnet_tpu.train.logging import ScalarWriter
 from ubresnet_tpu.train.metrics import MeterDict
@@ -319,10 +320,12 @@ class Trainer:
                         state = state.replace(
                             best_metric=jax.numpy.asarray(best, jax.numpy.float32)
                         )
-                        save_checkpoint(cfg.checkpoint_dir, state, best=True)
+                        save_checkpoint(cfg.checkpoint_dir, state, best=True,
+                                        async_=True)
 
                 if (it + 1) % cfg.checkpoint_every == 0:
-                    save_checkpoint(cfg.checkpoint_dir, state)
+                    # background write: the loop keeps dispatching steps
+                    save_checkpoint(cfg.checkpoint_dir, state, async_=True)
                 it += 1
                 if cfg.fault_at_iter and it == cfg.fault_at_iter:
                     self._maybe_inject_fault(it)
@@ -333,6 +336,9 @@ class Trainer:
             summary["error"] = traceback.format_exc()
             sys.stdout.flush()
         finally:
+            # in-flight async save may target the same step dir as the
+            # final sync save — let it commit before overwriting
+            wait_for_checkpoints()
             path = save_checkpoint(cfg.checkpoint_dir, state)
             train_loader.stop()
             if valid_loader:
@@ -358,6 +364,9 @@ class Trainer:
         )
         if os.path.exists(marker):
             return
+        # let in-flight async saves commit: the injected crash tests
+        # restart-and-resume determinism, not torn-write recovery
+        wait_for_checkpoints()
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         with open(marker, "w") as f:
             f.write(str(it))
