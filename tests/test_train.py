@@ -174,6 +174,20 @@ def test_async_checkpoint_commits_and_restores(tmp_path, rng):
     assert int(r2.step) == 3
 
 
+def test_prune_checkpoints(tmp_path):
+    from ubresnet_tpu.train.checkpoint import latest_step, prune_checkpoints
+
+    for s in (1, 2, 3, 4):
+        (tmp_path / f"step_{s:08d}").mkdir()
+    (tmp_path / "best").mkdir()
+    prune_checkpoints(str(tmp_path), keep=2)
+    left = sorted(p.name for p in tmp_path.iterdir())
+    assert left == ["best", "step_00000003", "step_00000004"]
+    assert latest_step(str(tmp_path)) == 4
+    prune_checkpoints(str(tmp_path), keep=0)  # 0 = keep everything
+    assert latest_step(str(tmp_path)) == 4
+
+
 def test_average_meter():
     m = AverageMeter()
     m.update(1.0)

@@ -309,6 +309,7 @@ class TrainConfig:
     valid_every: int = 10
     valid_batches: int = 4
     checkpoint_every: int = 500
+    keep_checkpoints: int = 0  # prune to newest K step_* dirs (0 = all)
     print_every: int = 20
     checkpoint_dir: str = "checkpoints"
     resume: bool = False

@@ -73,6 +73,28 @@ def save_checkpoint(directory: str, state, *, best: bool = False,
     return path
 
 
+def prune_checkpoints(directory: str, keep: int):
+    """Delete all but the newest `keep` step_* checkpoints (the `best`
+    alias is never pruned). keep <= 0 keeps everything (the reference's
+    behavior — every 500th checkpoint accumulates forever,
+    train_ubresnet2018_wlarcv2.py:260-289). Safe alongside async saves:
+    the single AsyncCheckpointer serializes writes, so every dir older
+    than the newest is committed."""
+    if keep <= 0 or not os.path.isdir(directory):
+        return
+    import shutil
+
+    steps = sorted(
+        int(name.split("_")[1])
+        for name in os.listdir(directory)
+        if name.startswith("step_") and name.split("_")[1].isdigit()
+    )
+    for step in steps[:-keep]:
+        shutil.rmtree(
+            os.path.join(directory, f"step_{step:08d}"), ignore_errors=True
+        )
+
+
 def latest_step(directory: str) -> Optional[int]:
     if not os.path.isdir(directory):
         return None

@@ -28,6 +28,7 @@ from ubresnet_tpu.data.augment import mirror, pad_and_crop
 from ubresnet_tpu.models import get_model
 from ubresnet_tpu.train.checkpoint import (
     latest_step,
+    prune_checkpoints,
     restore_checkpoint,
     save_checkpoint,
     wait_for_checkpoints,
@@ -326,6 +327,8 @@ class Trainer:
                 if (it + 1) % cfg.checkpoint_every == 0:
                     # background write: the loop keeps dispatching steps
                     save_checkpoint(cfg.checkpoint_dir, state, async_=True)
+                    prune_checkpoints(cfg.checkpoint_dir,
+                                      cfg.keep_checkpoints)
                 it += 1
                 if cfg.fault_at_iter and it == cfg.fault_at_iter:
                     self._maybe_inject_fault(it)
@@ -340,6 +343,9 @@ class Trainer:
             # final sync save — let it commit before overwriting
             wait_for_checkpoints()
             path = save_checkpoint(cfg.checkpoint_dir, state)
+            # the in-loop prune can't count an in-flight async dir;
+            # re-prune now that everything is committed
+            prune_checkpoints(cfg.checkpoint_dir, cfg.keep_checkpoints)
             train_loader.stop()
             if valid_loader:
                 valid_loader.stop()
