@@ -174,6 +174,90 @@ def test_async_checkpoint_commits_and_restores(tmp_path, rng):
     assert int(r2.step) == 3
 
 
+def test_grad_accumulation_matches_manual(rng):
+    """accum_steps=2 over batch 4 == mean of the two micro grads fed
+    to ONE optimizer update, with BN running stats updated
+    sequentially (micro forwards normalize by their own moments —
+    same semantics as hand-splitting the batch, equal to within f32
+    reduction-order noise). SGD so the
+    update is linear in the gradient — Adam's g/(|g|+eps) at step 1
+    amplifies f32 reassociation noise on near-zero grad elements."""
+    import optax
+
+    model = UResNet(
+        config=UResNetConfig(inplanes=4, input_channels=1),
+        policy=Policy.f32(),
+    )
+    tx = make_optimizer("sgd", learning_rate=1e-3, momentum=0.9,
+                        weight_decay=1e-3)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 1)), tx
+    )
+    batch = synth_batch(rng, b=4)
+    accum = build_train_step(num_classes=3, accum_steps=2, donate=False)
+    new_state, metrics = accum(state, batch)
+
+    # manual: two micro value_and_grads at FIXED params, stats chained
+    half = jax.tree_util.tree_map(lambda x: x.reshape((2, 2) + x.shape[1:]),
+                                  batch)
+    from ubresnet_tpu.losses import pixelwise_weighted_nll_from_logits
+
+    def micro(stats, mb):
+        def loss_fn(p):
+            logits, upd = state.apply_fn(
+                {"params": p, "batch_stats": stats}, mb["image"],
+                train=True, logits=True, mutable=["batch_stats"],
+            )
+            return pixelwise_weighted_nll_from_logits(
+                logits, mb["label"], mb["weight"]
+            ), upd["batch_stats"]
+
+        (loss, stats2), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        return loss, stats2, g
+
+    mb0 = jax.tree_util.tree_map(lambda x: x[0], half)
+    mb1 = jax.tree_util.tree_map(lambda x: x[1], half)
+    l0, s1, g0 = micro(state.batch_stats, mb0)
+    l1, s2, g1 = micro(s1, mb1)
+    gmean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g0, g1)
+    upd, _ = state.tx.update(gmean, state.opt_state, state.params)
+    want_params = optax.apply_updates(state.params, upd)
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), (float(l0) + float(l1)) / 2, rtol=1e-6
+    )
+    # f32 BN-train grads carry ~1e-2*global-scale reduction-order
+    # noise (calibration note at tests/test_pallas_conv.py:254), and a
+    # one-SGD-step param delta is lr x grad — threshold accordingly
+    gsc = max(float(jnp.abs(g).max())
+              for g in jax.tree_util.tree_leaves(gmean))
+    atol = max(1e-3 * 3e-2 * gsc, 1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(want_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=atol)
+    ssc = max(float(jnp.abs(v).max())
+              for v in jax.tree_util.tree_leaves(s2))
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.batch_stats),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5 * ssc)
+
+
+def test_grad_accumulation_trains(rng):
+    state = small_state(lr=3e-3)
+    step = build_train_step(num_classes=3, accum_steps=2)
+    batch = synth_batch(rng, b=4)
+    losses = []
+    for _ in range(20):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.6, losses
+    assert "acc_total" in metrics and "nan_skipped" in metrics
+
+
 def test_prune_checkpoints(tmp_path):
     from ubresnet_tpu.train.checkpoint import latest_step, prune_checkpoints
 

@@ -323,6 +323,9 @@ class TrainConfig:
     # mortality" were re-run by hand (grid_scripts/README.md).
     fault_at_iter: Optional[int] = None
     remat: bool = False  # jax.checkpoint the forward (memory for FLOPs)
+    # gradient accumulation: scan fwd+bwd over this many microbatches,
+    # ONE optimizer update per batch (train/step.py; composes w/ remat)
+    accum_steps: int = 1
     log_dir: Optional[str] = None
     seed: int = 0
     # parallelism

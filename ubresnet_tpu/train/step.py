@@ -78,6 +78,7 @@ def build_train_step(
     use_pallas_loss: bool = False,
     sparse_hw: Optional[tuple] = None,
     remat: bool = False,
+    accum_steps: int = 1,
 ):
     """Returns jitted train_step(state, batch) -> (state, metrics).
 
@@ -88,6 +89,15 @@ def build_train_step(
     metrics: loss, total/per-class/nonzero pixel accuracy (the
     reference's accuracy() set, train_ubresnet2018_wlarcv2.py:509-566
     plus the larcv1 'nonzero' combined metric, wlarcv1:584).
+
+    accum_steps > 1 splits the batch into that many microbatches and
+    lax.scan's the forward+backward over them, accumulating the mean
+    gradient before ONE optimizer update — activation memory of a
+    microbatch at the optimizer behavior of the full batch (composes
+    with remat for the deepest memory cuts). BN caveat: each micro
+    forward normalizes by its own microbatch moments (exactly as if
+    the micros were separate steps), and running stats update
+    sequentially; per-class accuracies are means of per-micro values.
     """
 
     if use_pallas_loss and class_weights is not None:
@@ -110,30 +120,67 @@ def build_train_step(
 
             batch = densify_batch(batch, tuple(sparse_hw))
 
-        def fwd(params, image):
-            return state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                image,
-                train=True,
-                logits=True,
-                mutable=["batch_stats"],
+        def micro_step(stats, mb):
+            def fwd(params, image):
+                return state.apply_fn(
+                    {"params": params, "batch_stats": stats},
+                    image,
+                    train=True,
+                    logits=True,
+                    mutable=["batch_stats"],
+                )
+
+            if remat:
+                # rematerialize the forward on the backward pass —
+                # trades ~1/3 more FLOPs for activation memory
+                # (jax.checkpoint), enabling large batches at 512x512
+                # (the reference filled a 16 GB P100 at batch 4,
+                # SURVEY.md §6)
+                fwd = jax.checkpoint(fwd)
+
+            def loss_fn(params):
+                logits, updates = fwd(params, mb["image"])
+                loss = loss_impl(logits, mb["label"], mb["weight"])
+                return loss, (logits, updates["batch_stats"])
+
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            m = {"loss": loss}
+            m.update(pixel_accuracy(logits, mb["label"], num_classes))
+            return m, new_stats, grads
+
+        if accum_steps > 1:
+            b = batch["image"].shape[0]
+            assert b % accum_steps == 0, (
+                f"batch {b} not divisible by accum_steps {accum_steps}"
             )
 
-        if remat:
-            # rematerialize the forward on the backward pass — trades
-            # ~1/3 more FLOPs for activation memory (jax.checkpoint),
-            # enabling large batches at 512x512 (the reference filled
-            # a 16 GB P100 at batch 4, SURVEY.md §6)
-            fwd = jax.checkpoint(fwd)
+            def split(x):
+                return x.reshape((accum_steps, b // accum_steps) + x.shape[1:])
 
-        def loss_fn(params):
-            logits, updates = fwd(params, batch["image"])
-            loss = loss_impl(logits, batch["label"], batch["weight"])
-            return loss, (logits, updates["batch_stats"])
+            micros = jax.tree_util.tree_map(split, batch)
 
-        (loss, (logits, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+            def body(carry, mb):
+                stats, gsum = carry
+                m, new_stats, grads = micro_step(stats, mb)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+                return (new_stats, gsum), m
+
+            (new_stats, gsum), ms = jax.lax.scan(
+                body,
+                (state.batch_stats,
+                 jax.tree_util.tree_map(jnp.zeros_like, state.params)),
+                micros,
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, gsum)
+            metrics_mean = {k: jnp.mean(v) for k, v in ms.items()}
+            loss = metrics_mean["loss"]
+        else:
+            metrics_mean, new_stats, grads = micro_step(
+                state.batch_stats, batch
+            )
+            loss = metrics_mean["loss"]
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
@@ -153,8 +200,7 @@ def build_train_step(
                 lambda n, o: jnp.where(ok, n, o), new, old
             )
 
-        metrics = {"loss": loss}
-        metrics.update(pixel_accuracy(logits, batch["label"], num_classes))
+        metrics = dict(metrics_mean)
         new_nan_count = state.nan_count + jnp.where(ok, 0, 1).astype(jnp.int32)
         metrics["nan_skipped"] = new_nan_count
         new_state = state.replace(

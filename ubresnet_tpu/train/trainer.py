@@ -157,7 +157,8 @@ class Trainer:
             self.mesh = make_mesh(devs, model_axis=cfg.model_axis)
         self.writer = ScalarWriter(cfg.log_dir)
         self.train_step = build_train_step(num_classes=cfg.model.num_classes,
-                                           remat=cfg.remat)
+                                           remat=cfg.remat,
+                                           accum_steps=cfg.accum_steps)
         # optional fn(step_fn) -> step_fn applied just before the loop
         # (survives the sparse-path step rebuild in run())
         self.step_wrapper = None
@@ -209,7 +210,7 @@ class Trainer:
             )
             self.train_step = build_train_step(
                 num_classes=cfg.model.num_classes, sparse_hw=hw,
-                remat=cfg.remat,
+                remat=cfg.remat, accum_steps=cfg.accum_steps,
             )
         else:
             # host-side shape (global arrays aren't sliceable on
