@@ -265,7 +265,24 @@ def measure_deploy_cli() -> dict:
     )
     variables = init_model(model, jax.random.PRNGKey(0),
                            jnp.zeros((1, HW, HW, 1)))
-    runner = PrecroppedRunner(model, variables, batch_size=BATCH)
+    # u8 compact readback: score readback bytes are the deploy loop's
+    # serial resource whenever host<->device D2H bandwidth binds (the
+    # axon tunnel sustains ~15 MB/s; a local PCIe host ~10 GB/s), so
+    # the bench uses the smallest faithful encoding (255-level fixed
+    # point on probabilities, ~2e-3 quantisation — an order below the
+    # int8-deploy accuracy bar).
+    runner = PrecroppedRunner(model, variables, batch_size=BATCH,
+                              compact_readback="u8")
+    # measure the achievable D2H rate so the deploy number carries its
+    # own context: d2h_bound_crops_per_sec is the hard ceiling any
+    # full-score deploy loop has on this host link.
+    probe = jax.device_put(jnp.ones((16, HW, HW, 1), jnp.uint8))
+    probe.block_until_ready()
+    np.asarray(jax.device_get(probe[:1]))  # warm the transfer path
+    t0 = time.time()
+    np.asarray(jax.device_get(probe))
+    d2h_mb_s = probe.size / 1e6 / (time.time() - t0)
+    per_crop_mb = HW * HW * 2 / 1e6  # u8 x (num_classes-1) channels
     rng = np.random.RandomState(2)
     with tempfile.TemporaryDirectory() as d:
         inp = os.path.join(d, "in.uevt")
@@ -279,10 +296,17 @@ def measure_deploy_cli() -> dict:
         runner.run(inp, os.path.join(d, "warm.uevt"), plane=2)  # compile
         timing = runner.run(inp, os.path.join(d, "out.uevt"), plane=2)
     rate = n_events / timing["total"]
+    d2h_bound = d2h_mb_s / per_crop_mb
     log(f"deploy runner h2d+fwd+file-io: {rate:.1f} crops/s "
-        f"(timing {dict((k, round(v, 3)) for k, v in timing.items())})")
+        f"(timing {dict((k, round(v, 3)) for k, v in timing.items())}; "
+        f"link {d2h_mb_s:.1f} MB/s d2h -> bound {d2h_bound:.1f} crops/s, "
+        f"link_efficiency {rate / d2h_bound:.2f})")
     return {"crops_per_sec": rate,
-            "timing": {k: round(v, 4) for k, v in timing.items()}}
+            "timing": {k: round(v, 4) for k, v in timing.items()},
+            "d2h_mb_s": round(d2h_mb_s, 2),
+            "readback_mb_per_crop": round(per_crop_mb, 4),
+            "d2h_bound_crops_per_sec": round(d2h_bound, 2),
+            "link_efficiency": round(rate / d2h_bound, 4)}
 
 
 def measure_wholeview() -> dict:
@@ -656,6 +680,10 @@ def main():
                     deploy["crops_per_sec"] / tpu["crops_per_sec"], 3
                 ),
                 "timing": deploy["timing"],
+                "d2h_mb_s": deploy["d2h_mb_s"],
+                "readback_mb_per_crop": deploy["readback_mb_per_crop"],
+                "d2h_bound_crops_per_sec": deploy["d2h_bound_crops_per_sec"],
+                "link_efficiency": deploy["link_efficiency"],
             }
         except Exception as exc:
             result["deploy"] = {"error": f"{type(exc).__name__}: {exc}"}

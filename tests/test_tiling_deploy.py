@@ -115,14 +115,16 @@ def test_precropped_runner_root_output(tmp_path, tiny_model):
             np.testing.assert_allclose(total, 1.0, atol=1e-4)
 
 
-def test_precropped_runner_compact_readback(tmp_path, tiny_model):
-    """Compact D2H mode (f16, K-1 classes + host 1-sum reconstruction)
-    matches full-precision scores to f16 quantisation."""
+@pytest.mark.parametrize("mode,atol", [(True, 2e-3), ("u8", 6e-3)])
+def test_precropped_runner_compact_readback(tmp_path, tiny_model, mode, atol):
+    """Compact D2H modes (f16 / u8 fixed point, K-1 classes + host
+    1-sum reconstruction) match full-precision scores to the
+    encoding's quantisation step."""
     model, variables = tiny_model
     inp = make_synthetic_file(str(tmp_path / "in.uevt"), n_events=4, hw=(64, 64))
     full = PrecroppedRunner(model, variables, batch_size=2)
     compact = PrecroppedRunner(
-        model, variables, batch_size=2, compact_readback=True
+        model, variables, batch_size=2, compact_readback=mode
     )
     full.run(inp, str(tmp_path / "full.uevt"), plane=2)
     compact.run(inp, str(tmp_path / "compact.uevt"), plane=2)
@@ -136,10 +138,10 @@ def test_precropped_runner_compact_readback(tmp_path, tiny_model):
         sc = rc.read_entry(e)["uburn_plane2"]
         assert len(sc) == 3  # all classes present, incl. reconstructed
         np.testing.assert_allclose(
-            sum(s.pixels for s in sc), 1.0, atol=2e-3
+            sum(s.pixels for s in sc), 1.0, atol=atol
         )
         for a, b in zip(sf, sc):
-            np.testing.assert_allclose(a.pixels, b.pixels, atol=2e-3)
+            np.testing.assert_allclose(a.pixels, b.pixels, atol=atol)
 
 
 def test_wholeview_runner(tmp_path, tiny_model):

@@ -7,6 +7,8 @@ import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import time
 import numpy as np
+from ubresnet_tpu.utils.platform import apply_platform_env
+apply_platform_env()  # persistent compile cache + rbg PRNG
 import jax, jax.numpy as jnp
 
 from ubresnet_tpu.ops.packed import packed_deconv2x

@@ -6,7 +6,9 @@ import numpy as np
 import bench  # repo-root bench helpers
 
 def measure(fused, batch):
-    import jax, jax.numpy as jnp
+    from ubresnet_tpu.utils.platform import apply_platform_env
+apply_platform_env()  # persistent compile cache + rbg PRNG
+import jax, jax.numpy as jnp
     from ubresnet_tpu.core.precision import Policy
     from ubresnet_tpu.models import get_model
     from ubresnet_tpu.train import build_train_step, create_train_state, make_optimizer

@@ -63,6 +63,9 @@ def measure(pack, batch, batches_by_size, remat=False, iters=10):
 
 
 if __name__ == "__main__":
+    from ubresnet_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # persistent compile cache + rbg PRNG
     import jax
 
     print("devices:", jax.devices(), flush=True)

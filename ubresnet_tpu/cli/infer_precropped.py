@@ -70,9 +70,13 @@ def build_parser():
     ap.add_argument("--best", action="store_true", help="load best checkpoint")
     ap.add_argument("--f32", action="store_true", help="full-f32 (parity) mode")
     ap.add_argument(
-        "--compact-readback", action="store_true",
-        help="ship f16 / K-1 class scores off-device (3x fewer D2H "
-        "bytes, ~5e-4 quantisation on written scores)",
+        "--compact-readback", nargs="?", const="f16", default=False,
+        choices=["f16", "u8"],
+        help="ship K-1 class scores off-device in f16 (6x fewer D2H "
+        "bytes, ~5e-4 score quantisation; the default when the flag "
+        "is given bare) or u8 fixed point (12x fewer bytes, ~2e-3). "
+        "The throughput dial when host<->device readback bandwidth "
+        "binds the deploy loop",
     )
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="wrap the run in a jax.profiler trace "

@@ -34,7 +34,7 @@ class PrecroppedRunner:
         adc_threshold: Optional[float] = None,
         sparse: bool = True,
         sparse_bucket: int = 4096,
-        compact_readback: bool = False,
+        compact_readback=False,
         score_dtype=np.float32,
         data_mesh=None,
     ):
@@ -44,6 +44,14 @@ class PrecroppedRunner:
         self.adc_threshold = adc_threshold
         self.sparse = sparse
         self.sparse_bucket = sparse_bucket
+        # compact_readback: False (full f32 scores), True/'f16' (drop
+        # the last class + ship f16 — 6x fewer D2H bytes, ~5e-4 score
+        # quantisation), or 'u8' (drop last class + 255-level fixed
+        # point — 12x fewer bytes, ~2e-3 quantisation). D2H readback
+        # dominates the deploy wall when host<->device bandwidth is
+        # the bottleneck, so the encoding IS the throughput dial.
+        if compact_readback is True:
+            compact_readback = "f16"
         self.compact = compact_readback
         # data_mesh: a jax.sharding.Mesh → each dispatched batch is
         # sharded over every mesh device on the batch axis (GSPMD
@@ -75,9 +83,11 @@ class PrecroppedRunner:
 
         def _post(probs):
             # compact D2H form: drop the last class (host reconstructs
-            # it as 1-sum — softmax rows sum to 1) and ship f16. 3x
-            # fewer readback bytes for ~5e-4 quantisation on the
-            # written scores.
+            # it as 1-sum — softmax rows sum to 1) and ship f16 or u8
+            # fixed point.
+            if compact_readback == "u8":
+                return jnp.round(
+                    probs[..., :-1] * 255.0).astype(jnp.uint8)
             if compact_readback:
                 return probs[..., :-1].astype(jnp.float16)
             return probs
@@ -172,6 +182,8 @@ class PrecroppedRunner:
         out = np.concatenate(parts) if len(parts) > 1 else parts[0]
         if self.compact:
             out = out.astype(np.float32)
+            if self.compact == "u8":
+                out *= 1.0 / 255.0
             rest = np.clip(1.0 - out.sum(axis=-1, keepdims=True), 0.0, 1.0)
             out = np.concatenate([out, rest], axis=-1)
         return out
@@ -247,7 +259,45 @@ class PrecroppedRunner:
         # one-deep software pipeline: dispatch batch k asynchronously,
         # then write batch k-1 and read batch k+1 while the device
         # computes (VERDICT round-2 item 8 — the batch-at-a-time loop
-        # left the chip idle during host read/write)
+        # left the chip idle during host read/write). File writes run
+        # on a dedicated worker thread (sole owner of `writer`) so the
+        # host<->device readback — the serial resource when D2H
+        # bandwidth binds — overlaps the file IO of the previous batch.
+        import queue as _queue
+        import threading
+
+        write_q: "_queue.Queue" = _queue.Queue(maxsize=2)
+        write_err = []
+
+        def _write_worker():
+            while True:
+                item = write_q.get()
+                if item is None:
+                    return
+                images, scores = item
+                t0 = time.time()
+                try:
+                    for img, score in zip(images, scores):
+                        writer.set_id(*img.rse)
+                        for c in range(score.shape[-1]):
+                            writer.append(
+                                out_producer,
+                                Image2D(
+                                    score[..., c].astype(out_dt),
+                                    img.meta,
+                                    *img.rse,
+                                ),
+                            )
+                        writer.save_entry()
+                except BaseException as e:  # surfaced after join
+                    write_err.append(e)
+                    return
+                finally:
+                    timing["write"] += time.time() - t0
+
+        wthread = threading.Thread(target=_write_worker, daemon=True)
+        wthread.start()
+
         def drain(pending):
             images, dev = pending
             t0 = time.time()
@@ -256,20 +306,9 @@ class PrecroppedRunner:
             # discard them on the host
             scores = self._fetch(dev[: len(images)])
             timing["forward"] += time.time() - t0
-            t0 = time.time()
-            for img, score in zip(images, scores):
-                writer.set_id(*img.rse)
-                for c in range(score.shape[-1]):
-                    writer.append(
-                        out_producer,
-                        Image2D(
-                            score[..., c].astype(out_dt),
-                            img.meta,
-                            *img.rse,
-                        ),
-                    )
-                writer.save_entry()
-            timing["write"] += time.time() - t0
+            if write_err:
+                raise write_err[0]
+            write_q.put((images, scores))
 
         pending = None
         for start in range(0, n, self.batch_size):
@@ -307,6 +346,10 @@ class PrecroppedRunner:
                       flush=True)
         if pending is not None:
             drain(pending)
+        write_q.put(None)
+        wthread.join()
+        if write_err:
+            raise write_err[0]
 
         writer.close()
         timing["total"] = time.time() - t_total

@@ -577,6 +577,21 @@ class BasicBlock(nn.Module):
             and not pol.quant_train
         )
         pe = _p_eff(p, c_x, x.shape[2] * p) if p else p
+
+        def _block_fits(pcia, pcib):
+            # whole-plane spatial inputs (wholeview --spatial) can
+            # exceed scoped VMEM even at the minimum row tile — the
+            # block kernels tile over rows only. Such shapes stay on
+            # the per-ConvBN path (ops/pallas_conv.block_kernel_fits).
+            from ubresnet_tpu.ops.pallas_conv import block_kernel_fits
+
+            nbo = jnp.dtype(pol.compute_dtype).itemsize
+            nb = 1 if pol.quant_eval else nbo
+            return block_kernel_fits(
+                x.shape[1], x.shape[2] * p // pe, pcia, pcib,
+                pe * self.features, nb, nbo,
+            )
+
         # Whole-block Pallas kernel (eval): conv1+BN+ReLU, conv2+BN+
         # pre-ReLU, bypass projection, residual add, ReLU — one HBM
         # read + one write for the entire block (ops/pallas_conv.py).
@@ -588,6 +603,7 @@ class BasicBlock(nn.Module):
             and c_x * pe >= 128
             and 2 * c_x <= 128
             and self.features * pe >= 128
+            and _block_fits(pe * c_x, pe * c_d)
         )
         use_block = (
             fused_ok
@@ -595,6 +611,7 @@ class BasicBlock(nn.Module):
             and inp * pe >= 128
             and 2 * inp <= 128
             and self.features * pe >= 128
+            and _block_fits(pe * inp, 0)
         )
         if use_dual or use_block:
             from ubresnet_tpu.ops.packed import tile_channel_vector

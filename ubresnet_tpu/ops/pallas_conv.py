@@ -57,6 +57,43 @@ def _fit_th(h: int, th: int, est) -> int:
     return th
 
 
+def _basic_block_est(wc, pci, pco, nb, nbo):
+    """VMEM byte estimate for fused_basic_block at row tile t."""
+    return lambda t: wc * (
+        2 * (t + 4) * pci * nb                # xs double buffer
+        + 2 * (t + 4) * COMBO * 4             # combo + c2nd f32 temps
+        + (t + 2) * pco * (4 + nb)            # acc1 + y1
+        + t * pco * (4 + nbo)                 # acc2 + out block
+    )
+
+
+def _dual_block_est(wc, pcia, pcib, pco, nb, nbo):
+    """VMEM byte estimate for fused_dual_block at row tile t."""
+    return lambda t: wc * (
+        2 * (t + 4) * (pcia + pcib) * nb      # two stream double buffers
+        + 3 * (t + 4) * COMBO * 4             # ca/cb/c2nd f32 temps
+        + (t + 2) * pco * (4 + nb)            # acc1 + y1
+        + t * pco * (4 + nbo)                 # acc2 + out block
+    )
+
+
+def block_kernel_fits(h: int, wc: int, pcia: int, pcib: int, pco: int,
+                      nb: int, nbo: int) -> bool:
+    """Whether the whole-block eval kernel (basic when pcib == 0, dual
+    otherwise) has ANY row tile inside the VMEM budget at this shape.
+
+    The block kernels tile over rows only — each tile spans the full
+    packed width wc — so whole-plane spatial inputs (wholeview
+    --spatial pads the reference 1008x3456 plane and runs ONE forward)
+    can overflow scoped VMEM even at the 8-row minimum tile (measured:
+    16.04M vs the 16M hardware limit at dec2 of the padded plane).
+    Callers must route such shapes to the per-conv path instead."""
+    est = (_basic_block_est(wc, pcia, pco, nb, nbo) if pcib == 0
+           else _dual_block_est(wc, pcia, pcib, pco, nb, nbo))
+    th = _fit_th(h, 32, est)
+    return est(th) <= VMEM_BUDGET
+
+
 def halo_weights(w: jax.Array, p: int):
     """(kh, kw, ci, co) unpacked conv kernel → (Wmain, Whalo):
 
@@ -707,12 +744,7 @@ def fused_dual_block(
     out_dtype = a.dtype if out_dtype is None else out_dtype
     nb = a.dtype.itemsize
     nbo = jnp.dtype(out_dtype).itemsize
-    th = _fit_th(h, th, lambda t: wc * (
-        2 * (t + 4) * (pcia + pcib) * nb      # two stream double buffers
-        + 3 * (t + 4) * COMBO * 4             # ca/cb/c2nd f32 temps
-        + (t + 2) * pco * (4 + nb)            # acc1 + y1
-        + t * pco * (4 + nbo)                 # acc2 + out block
-    ))
+    th = _fit_th(h, th, _dual_block_est(wc, pcia, pcib, pco, nb, nbo))
     wm1a, wh1a = halo_weights(w1[:, :, :cia], p)
     wm1b, wh1b = halo_weights(w1[:, :, cia:], p)
     wm2, wh2 = halo_weights(w2, p)
@@ -1498,12 +1530,7 @@ def fused_basic_block(
     out_dtype = x.dtype if out_dtype is None else out_dtype
     nb = x.dtype.itemsize
     nbo = jnp.dtype(out_dtype).itemsize
-    th = _fit_th(h, th, lambda t: wc * (
-        2 * (t + 4) * pci * nb                # xs double buffer
-        + 2 * (t + 4) * COMBO * 4             # combo + c2nd f32 temps
-        + (t + 2) * pco * (4 + nb)            # acc1 + y1
-        + t * pco * (4 + nbo)                 # acc2 + out block
-    ))
+    th = _fit_th(h, th, _basic_block_est(wc, pci, pco, nb, nbo))
     wm1, wh1 = halo_weights(w1, p)
     wm2, wh2 = halo_weights(w2, p)
     has_bypass = wb is not None
