@@ -295,18 +295,38 @@ def measure_deploy_cli() -> dict:
                 w.save_entry()
         runner.run(inp, os.path.join(d, "warm.uevt"), plane=2)  # compile
         timing = runner.run(inp, os.path.join(d, "out.uevt"), plane=2)
+        # sparse readback: gather u8 scores at charge pixels + halo
+        # on-device; host fills the rest from the zero-input response
+        # field. Readback bytes drop ~20-60x again at LArTPC occupancy
+        # — the next dial after u8 when the link binds.
+        sp_runner = PrecroppedRunner(model, variables, batch_size=BATCH,
+                                     compact_readback="sparse")
+        sp_runner.run(inp, os.path.join(d, "warm_sp.uevt"), plane=2)
+        timing_sp = sp_runner.run(inp, os.path.join(d, "out_sp.uevt"),
+                                  plane=2)
+        sp_mb_per_crop = sp_runner._out_cap * 2 / 1e6
     rate = n_events / timing["total"]
+    rate_sp = n_events / timing_sp["total"]
     d2h_bound = d2h_mb_s / per_crop_mb
     log(f"deploy runner h2d+fwd+file-io: {rate:.1f} crops/s "
         f"(timing {dict((k, round(v, 3)) for k, v in timing.items())}; "
         f"link {d2h_mb_s:.1f} MB/s d2h -> bound {d2h_bound:.1f} crops/s, "
         f"link_efficiency {rate / d2h_bound:.2f})")
+    log(f"deploy sparse-readback: {rate_sp:.1f} crops/s "
+        f"({sp_mb_per_crop:.4f} MB/crop; timing "
+        f"{dict((k, round(v, 3)) for k, v in timing_sp.items())})")
     return {"crops_per_sec": rate,
             "timing": {k: round(v, 4) for k, v in timing.items()},
             "d2h_mb_s": round(d2h_mb_s, 2),
             "readback_mb_per_crop": round(per_crop_mb, 4),
             "d2h_bound_crops_per_sec": round(d2h_bound, 2),
-            "link_efficiency": round(rate / d2h_bound, 4)}
+            "link_efficiency": round(rate / d2h_bound, 4),
+            "sparse_readback": {
+                "crops_per_sec": round(rate_sp, 2),
+                "timing": {k: round(v, 4) for k, v in timing_sp.items()},
+                "readback_mb_per_crop": round(sp_mb_per_crop, 4),
+                "speedup_vs_u8": round(rate_sp / max(rate, 1e-9), 3),
+            }}
 
 
 def measure_wholeview() -> dict:
@@ -684,6 +704,7 @@ def main():
                 "readback_mb_per_crop": deploy["readback_mb_per_crop"],
                 "d2h_bound_crops_per_sec": deploy["d2h_bound_crops_per_sec"],
                 "link_efficiency": deploy["link_efficiency"],
+                "sparse_readback": deploy["sparse_readback"],
             }
         except Exception as exc:
             result["deploy"] = {"error": f"{type(exc).__name__}: {exc}"}

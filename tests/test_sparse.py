@@ -41,3 +41,84 @@ def test_empty_image_roundtrip():
     out = np.asarray(densify(jnp.asarray(sp["indices"]), jnp.asarray(sp["values"]),
                              (16, 16)))
     np.testing.assert_array_equal(out, 0)
+
+
+def test_dilate_mask_square_halo():
+    from ubresnet_tpu.ops.sparse import dilate_mask
+
+    m = np.zeros((1, 9, 9), bool)
+    m[0, 4, 4] = True
+    d = dilate_mask(m, 2)
+    # exactly the 5x5 square around the seed
+    want = np.zeros((9, 9), bool)
+    want[2:7, 2:7] = True
+    np.testing.assert_array_equal(d[0], want)
+    # r=0 is the identity, and the input is not mutated
+    np.testing.assert_array_equal(dilate_mask(m, 0), m)
+    assert m.sum() == 1
+
+
+def test_dilate_mask_clips_at_edges():
+    from ubresnet_tpu.ops.sparse import dilate_mask
+
+    m = np.zeros((2, 5, 5), bool)
+    m[0, 0, 0] = True
+    m[1, 4, 4] = True
+    d = dilate_mask(m, 3)
+    assert d[0, :4, :4].all() and d[0].sum() == 16
+    assert d[1, 1:, 1:].all() and d[1].sum() == 16
+
+
+def test_mask_indices_padding_and_truncation():
+    from ubresnet_tpu.ops.sparse import mask_indices
+
+    m = np.zeros((2, 4, 4), bool)
+    m[0, 0, 1] = m[0, 2, 3] = True
+    m[1].flat[:5] = True
+    idx = mask_indices(m, bucket=4)
+    assert idx.shape == (2, 8)  # max nnz 5 rounded to bucket grid
+    assert set(idx[0]) == {0, 1, 11}  # flat indices + pad-0 slots
+    assert list(idx[1, :5]) == [0, 1, 2, 3, 4]
+    # externally-fixed smaller capacity truncates overflow rows
+    idx2 = mask_indices(m, capacity=3)
+    assert idx2.shape == (2, 3) and list(idx2[1]) == [0, 1, 2]
+
+
+def test_sparse_gather_forward_matches_dense(rng):
+    """The gather-forward returns exactly the dense forward's u8
+    compact scores at the requested pixels."""
+    import jax
+
+    from ubresnet_tpu.core.precision import Policy
+    from ubresnet_tpu.models import UResNet, UResNetConfig
+    from ubresnet_tpu.ops.sparse import (
+        dilate_mask, mask_indices, sparse_gather_forward_fn, sparsify,
+    )
+
+    model = UResNet(
+        config=UResNetConfig(num_classes=3, input_channels=1, inplanes=4,
+                             final_conv_kernels=4),
+        policy=Policy.f32(),
+    )
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1))
+    )
+    imgs = np.zeros((2, 64, 64), np.float32)
+    occ = rng.rand(2, 64, 64) < 0.02
+    imgs[occ] = rng.rand(int(occ.sum())).astype(np.float32) * 50 + 10
+
+    sp = sparsify(imgs, bucket=256)
+    out_idx = mask_indices(dilate_mask(imgs != 0, 4), bucket=256)
+    fwd = sparse_gather_forward_fn(model)
+    g = np.asarray(fwd(variables, sp["indices"], sp["values"],
+                       out_idx, (64, 64)))
+    assert g.dtype == np.uint8 and g.shape[:2] == (2, out_idx.shape[1])
+
+    dense = np.asarray(
+        jnp.exp(model.apply(variables, jnp.asarray(imgs[..., None])))
+    )
+    want = np.round(
+        dense.reshape(2, -1, 3)[np.arange(2)[:, None], out_idx][..., :2]
+        * 255.0
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(g, want)

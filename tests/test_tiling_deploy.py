@@ -447,3 +447,50 @@ def test_precropped_runner_data_parallel(tmp_path, tiny_model):
             # than the single-device program, so f32 reduction order
             # shifts (measured max |dp| 8e-4 on a saturated softmax)
             np.testing.assert_allclose(a.pixels, b.pixels, atol=2e-3)
+
+
+def test_precropped_runner_sparse_readback(tmp_path, tiny_model):
+    """Sparse-readback mode: scores at charge pixels (+halo) match the
+    full-precision run to the u8 quantisation step; pixels outside the
+    halo carry the network's zero-input response field; every written
+    pixel still sums to ~1 over classes."""
+    from ubresnet_tpu.ops.sparse import dilate_mask
+
+    model, variables = tiny_model
+    inp = make_synthetic_file(str(tmp_path / "in.uevt"), n_events=4,
+                              hw=(64, 64))
+    full = PrecroppedRunner(model, variables, batch_size=2)
+    sparse = PrecroppedRunner(
+        model, variables, batch_size=2,
+        compact_readback="sparse", readback_dilate=3,
+    )
+    full.run(inp, str(tmp_path / "full.uevt"), plane=2)
+    sparse.run(inp, str(tmp_path / "sparse.uevt"), plane=2)
+
+    import jax.numpy as jnp
+    bg = np.asarray(
+        jnp.exp(model.apply(variables, jnp.zeros((1, 64, 64, 1))))
+    )[0]
+
+    ri = EventFileReader(inp)
+    rf = EventFileReader(str(tmp_path / "full.uevt"))
+    rs = EventFileReader(str(tmp_path / "sparse.uevt"))
+    for e in range(4):
+        adc = [im for im in ri.read_entry(e)["wire"]
+               if im.meta.plane == 2][0].pixels
+        halo = dilate_mask((adc != 0)[None], 3)[0]
+        assert halo.any() and not halo.all()
+        sf = rf.read_entry(e)["uburn_plane2"]
+        ss = rs.read_entry(e)["uburn_plane2"]
+        assert len(ss) == 3
+        np.testing.assert_allclose(
+            sum(s.pixels for s in ss), 1.0, atol=6e-3
+        )
+        for a, b in zip(sf, ss):
+            np.testing.assert_allclose(
+                a.pixels[halo], b.pixels[halo], atol=6e-3
+            )
+        for c, s in enumerate(ss):
+            np.testing.assert_allclose(
+                s.pixels[~halo], bg[..., c][~halo], atol=1e-6
+            )

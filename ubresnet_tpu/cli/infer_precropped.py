@@ -71,13 +71,20 @@ def build_parser():
     ap.add_argument("--f32", action="store_true", help="full-f32 (parity) mode")
     ap.add_argument(
         "--compact-readback", nargs="?", const="f16", default=False,
-        choices=["f16", "u8"],
+        choices=["f16", "u8", "sparse"],
         help="ship K-1 class scores off-device in f16 (6x fewer D2H "
         "bytes, ~5e-4 score quantisation; the default when the flag "
-        "is given bare) or u8 fixed point (12x fewer bytes, ~2e-3). "
-        "The throughput dial when host<->device readback bandwidth "
+        "is given bare), u8 fixed point (12x fewer bytes, ~2e-3), or "
+        "sparse (u8 scores at charge pixels + a --readback-dilate "
+        "halo only; empty pixels filled from the network's zero-input "
+        "response — the pixels the reference's comparison discipline "
+        "masks anyway, ~20-60x fewer bytes again at LArTPC occupancy)."
+        " The throughput dial when host<->device readback bandwidth "
         "binds the deploy loop",
     )
+    ap.add_argument("--readback-dilate", type=int, default=4, metavar="R",
+                    help="halo radius (pixels) around charge kept in "
+                         "--compact-readback sparse mode (default 4)")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="wrap the run in a jax.profiler trace "
                          "(TensorBoard profile plugin)")
@@ -127,6 +134,7 @@ def main(argv=None):
         variables,
         batch_size=args.batchsize,
         compact_readback=args.compact_readback,
+        readback_dilate=args.readback_dilate,
         score_dtype=np.float16 if args.f16_scores else np.float32,
         data_mesh=data_mesh,
     )

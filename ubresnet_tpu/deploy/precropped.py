@@ -35,6 +35,7 @@ class PrecroppedRunner:
         sparse: bool = True,
         sparse_bucket: int = 4096,
         compact_readback=False,
+        readback_dilate: int = 4,
         score_dtype=np.float32,
         data_mesh=None,
     ):
@@ -46,13 +47,22 @@ class PrecroppedRunner:
         self.sparse_bucket = sparse_bucket
         # compact_readback: False (full f32 scores), True/'f16' (drop
         # the last class + ship f16 — 6x fewer D2H bytes, ~5e-4 score
-        # quantisation), or 'u8' (drop last class + 255-level fixed
-        # point — 12x fewer bytes, ~2e-3 quantisation). D2H readback
+        # quantisation), 'u8' (drop last class + 255-level fixed
+        # point — 12x fewer bytes, ~2e-3 quantisation), or 'sparse'
+        # (u8 scores gathered on-device at charge pixels + a
+        # readback_dilate halo only; empty pixels reconstructed on the
+        # host from the network's zero-input response field — another
+        # ~20-60x fewer bytes at LArTPC occupancy). D2H readback
         # dominates the deploy wall when host<->device bandwidth is
         # the bottleneck, so the encoding IS the throughput dial.
         if compact_readback is True:
             compact_readback = "f16"
+        if compact_readback == "sparse" and not sparse:
+            raise ValueError("compact_readback='sparse' requires sparse=True")
         self.compact = compact_readback
+        self.readback_dilate = readback_dilate
+        self._out_cap = 0
+        self._bg_fields = {}
         # data_mesh: a jax.sharding.Mesh → each dispatched batch is
         # sharded over every mesh device on the batch axis (GSPMD
         # data-parallel inference — pod-slice deploy; the reference has
@@ -88,7 +98,7 @@ class PrecroppedRunner:
             if compact_readback == "u8":
                 return jnp.round(
                     probs[..., :-1] * 255.0).astype(jnp.uint8)
-            if compact_readback:
+            if compact_readback and compact_readback != "sparse":
                 return probs[..., :-1].astype(jnp.float16)
             return probs
 
@@ -97,6 +107,10 @@ class PrecroppedRunner:
             from ubresnet_tpu.ops.sparse import sparse_forward_fn
 
             self._fwd_sparse = sparse_forward_fn(model, post=_post)
+        if compact_readback == "sparse":
+            from ubresnet_tpu.ops.sparse import sparse_gather_forward_fn
+
+            self._fwd_gather = sparse_gather_forward_fn(model)
 
     def _dispatch(self, batch: np.ndarray) -> jax.Array:
         """(b, h, w, 1) host batch → device (b, h, w, c) probabilities,
@@ -122,11 +136,27 @@ class PrecroppedRunner:
             pad = self._cap - k
             sp["indices"] = np.pad(sp["indices"], ((0, 0), (0, pad)))
             sp["values"] = np.pad(sp["values"], ((0, 0), (0, pad)))
+        idx_dev = jax.device_put(sp["indices"], self._coo_sh)
+        val_dev = jax.device_put(sp["values"], self._coo_sh)
+        if self.compact == "sparse":
+            from ubresnet_tpu.ops.sparse import dilate_mask, mask_indices
+
+            halo = dilate_mask(batch[..., 0] != 0.0, self.readback_dilate)
+            out_idx = mask_indices(halo, bucket=self.sparse_bucket)
+            ko = out_idx.shape[1]
+            self._out_cap = max(self._out_cap, ko)
+            if ko < self._out_cap:
+                out_idx = np.pad(out_idx, ((0, 0), (0, self._out_cap - ko)))
+            dev = self._fwd_gather(
+                self.variables,
+                idx_dev,
+                val_dev,
+                jax.device_put(out_idx, self._coo_sh),
+                batch.shape[1:3],
+            )
+            return dev, out_idx
         return self._fwd_sparse(
-            self.variables,
-            jax.device_put(sp["indices"], self._coo_sh),
-            jax.device_put(sp["values"], self._coo_sh),
-            batch.shape[1:3],
+            self.variables, idx_dev, val_dev, batch.shape[1:3]
         )
 
     def calibrate_from(
@@ -163,6 +193,7 @@ class PrecroppedRunner:
         self.variables = calibrate(
             self.model, self.variables, [batch], percentile=percentile
         )
+        self._bg_fields.clear()  # zero-input field depends on variables
         return len(images)
 
     def _fetch(self, dev: jax.Array) -> np.ndarray:
@@ -188,8 +219,41 @@ class PrecroppedRunner:
             out = np.concatenate([out, rest], axis=-1)
         return out
 
+    def _bg_field(self, hw) -> np.ndarray:
+        """Network response to an all-zero input at this shape — a
+        single (h, w, c) field (depends only on pixel position via
+        padding boundary effects), computed once per shape and used as
+        the host-side fill for pixels outside the sparse-readback
+        halo."""
+        if hw not in self._bg_fields:
+            h, w = hw
+            z = jnp.zeros((1, h, w, 1), jnp.float32)
+            probs = jax.jit(
+                lambda v, x: jnp.exp(self.model.apply(v, x))
+            )(self.variables, z)
+            self._bg_fields[hw] = np.asarray(jax.device_get(probs))[0]
+        return self._bg_fields[hw]
+
+    def _fetch_sparse(self, dev, out_idx: np.ndarray, hw) -> np.ndarray:
+        """Gathered (b, K, c-1) u8 device scores + host indices → dense
+        (b, h, w, c) float32 probabilities over the zero-input field."""
+        g = np.asarray(jax.device_get(dev)).astype(np.float32)
+        g *= 1.0 / 255.0
+        rest = np.clip(1.0 - g.sum(axis=-1, keepdims=True), 0.0, 1.0)
+        vals = np.concatenate([g, rest], axis=-1)
+        bg = self._bg_field(hw)
+        b = g.shape[0]
+        out = np.broadcast_to(bg, (b,) + bg.shape).reshape(
+            b, -1, bg.shape[-1]
+        ).copy()
+        out[np.arange(b)[:, None], out_idx[:b]] = vals
+        return out.reshape((b,) + bg.shape)
+
     def _forward(self, batch: np.ndarray) -> np.ndarray:
-        return self._fetch(self._dispatch(batch))
+        dev = self._dispatch(batch)
+        if isinstance(dev, tuple):
+            return self._fetch_sparse(dev[0], dev[1], batch.shape[1:3])
+        return self._fetch(dev)
 
     def run(
         self,
@@ -240,20 +304,31 @@ class PrecroppedRunner:
             budget = 1 << 29  # ~512 MB of cached pixels
             cached_bytes = 0
             max_nnz = 1
+            max_halo = 1
             for i in range(n):
                 ev = reader.read_entry(i, producers=[producer])
                 imgs = ev[producer]
                 sel = [im for im in imgs if im.meta.plane == plane] or imgs
                 px = sel[0].pixels
                 if self.adc_threshold:
-                    nnz = int((px >= self.adc_threshold).sum())
+                    mask = px >= self.adc_threshold
                 else:
-                    nnz = int((px != 0).sum())
-                max_nnz = max(max_nnz, nnz)
+                    mask = px != 0
+                max_nnz = max(max_nnz, int(mask.sum()))
+                if self.compact == "sparse":
+                    from ubresnet_tpu.ops.sparse import dilate_mask
+
+                    max_halo = max(
+                        max_halo,
+                        int(dilate_mask(
+                            mask[None], self.readback_dilate).sum()),
+                    )
                 if cached_bytes < budget:
                     prefetched[i] = sel[0]
                     cached_bytes += px.nbytes
             self._cap = round_capacity(max_nnz, self.sparse_bucket)
+            if self.compact == "sparse":
+                self._out_cap = round_capacity(max_halo, self.sparse_bucket)
             timing["read"] += time.time() - t0
 
         # one-deep software pipeline: dispatch batch k asynchronously,
@@ -304,7 +379,13 @@ class PrecroppedRunner:
             # slice on device BEFORE the D2H read: the final partial
             # batch otherwise transfers its zero-padded rows only to
             # discard them on the host
-            scores = self._fetch(dev[: len(images)])
+            if isinstance(dev, tuple):
+                hw = images[0].pixels.shape
+                scores = self._fetch_sparse(
+                    dev[0][: len(images)], dev[1], hw
+                )
+            else:
+                scores = self._fetch(dev[: len(images)])
             timing["forward"] += time.time() - t0
             if write_err:
                 raise write_err[0]

@@ -138,6 +138,66 @@ def densify_batch(sp: dict, hw: Tuple[int, int]) -> dict:
     return {"image": image, "label": lab, "weight": wgt}
 
 
+def dilate_mask(mask: np.ndarray, r: int) -> np.ndarray:
+    """(b, h, w) bool → square dilation by ``r`` pixels (separable
+    OR-shifts, O(r·hw)). The halo around charge where network scores
+    deviate meaningfully from the zero-input response field."""
+    if r <= 0:
+        return mask
+    rowd = mask.copy()
+    for s in range(1, r + 1):
+        rowd[:, s:, :] |= mask[:, :-s, :]
+        rowd[:, :-s, :] |= mask[:, s:, :]
+    out = rowd.copy()
+    for s in range(1, r + 1):
+        out[:, :, s:] |= rowd[:, :, :-s]
+        out[:, :, :-s] |= rowd[:, :, s:]
+    return out
+
+
+def mask_indices(
+    mask: np.ndarray, capacity: int = None, bucket: int = 4096
+) -> np.ndarray:
+    """(b, h, w) bool → (b, K) int32 flat pixel indices (COO, padded
+    with index 0; rows beyond an externally-fixed capacity truncate)."""
+    b = mask.shape[0]
+    flat = mask.reshape(b, -1)
+    rows, cols = np.nonzero(flat)
+    counts = np.bincount(rows, minlength=b)
+    k = capacity or round_capacity(int(counts.max()) if len(rows) else 0, bucket)
+    starts = np.cumsum(counts) - counts
+    slots = np.arange(len(rows)) - np.repeat(starts, counts)
+    keep = slots < k
+    idx = np.zeros((b, k), np.int32)
+    idx[rows[keep], slots[keep]] = cols[keep]
+    return idx
+
+
+def sparse_gather_forward_fn(model):
+    """Jitted (variables, indices, values, out_idx, hw) → u8 compact
+    scores gathered at ``out_idx`` pixels only, shape (b, K, C-1).
+
+    The sparse-readback deploy path: D2H ships K gathered pixels per
+    crop instead of h·w — at LArTPC occupancies (~1%) plus a dilation
+    halo that is a 20-60x readback cut on top of the u8 encoding. The
+    host reconstructs full score images by pasting the gathered values
+    over the network's (precomputed, per-shape) zero-input response
+    field; pixels outside the halo carry that field instead of their
+    exact scores — exactly the pixels the reference's own comparison
+    discipline masks away (tf/compare_caffe_to_tf.py ADC>10 mask)."""
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def fwd(variables, indices, values, out_idx, hw):
+        x = densify(indices, values, hw)
+        probs = jnp.exp(model.apply(variables, x))
+        b, h, w, c = probs.shape
+        flatp = probs.reshape(b, h * w, c)
+        g = jax.vmap(lambda p, i: p[i])(flatp, out_idx)
+        return jnp.round(g[..., :-1] * 255.0).astype(jnp.uint8)
+
+    return fwd
+
+
 def sparse_forward_fn(model, post=None):
     """Jitted (variables, indices, values) → probabilities, with the
     densify fused into the same XLA program as the network. ``post``
