@@ -146,7 +146,13 @@ class PrecroppedRunner:
             ko = out_idx.shape[1]
             self._out_cap = max(self._out_cap, ko)
             if ko < self._out_cap:
-                out_idx = np.pad(out_idx, ((0, 0), (0, self._out_cap - ko)))
+                # pad with the -1 sentinel, NOT 0: index 0 is flat
+                # pixel (0,0) and zero-padded slots would overwrite its
+                # background fill on the host paste
+                out_idx = np.pad(
+                    out_idx, ((0, 0), (0, self._out_cap - ko)),
+                    constant_values=-1,
+                )
             dev = self._fwd_gather(
                 self.variables,
                 idx_dev,
@@ -236,7 +242,11 @@ class PrecroppedRunner:
 
     def _fetch_sparse(self, dev, out_idx: np.ndarray, hw) -> np.ndarray:
         """Gathered (b, K, c-1) u8 device scores + host indices → dense
-        (b, h, w, c) float32 probabilities over the zero-input field."""
+        (b, h, w, c) float32 probabilities over the zero-input field.
+
+        Pad slots carry the -1 sentinel (ops/sparse.mask_indices and
+        the capacity pad in _dispatch) and are dropped here — pasting
+        them would overwrite flat pixel 0 with garbage."""
         g = np.asarray(jax.device_get(dev)).astype(np.float32)
         g *= 1.0 / 255.0
         rest = np.clip(1.0 - g.sum(axis=-1, keepdims=True), 0.0, 1.0)
@@ -246,7 +256,9 @@ class PrecroppedRunner:
         out = np.broadcast_to(bg, (b,) + bg.shape).reshape(
             b, -1, bg.shape[-1]
         ).copy()
-        out[np.arange(b)[:, None], out_idx[:b]] = vals
+        idx = out_idx[:b]
+        rows, slots = np.nonzero(idx >= 0)
+        out[rows, idx[rows, slots]] = vals[rows, slots]
         return out.reshape((b,) + bg.shape)
 
     def _forward(self, batch: np.ndarray) -> np.ndarray:

@@ -143,7 +143,7 @@ def dilate_mask(mask: np.ndarray, r: int) -> np.ndarray:
     OR-shifts, O(r·hw)). The halo around charge where network scores
     deviate meaningfully from the zero-input response field."""
     if r <= 0:
-        return mask
+        return mask.copy()  # never alias: callers may mutate the result
     rowd = mask.copy()
     for s in range(1, r + 1):
         rowd[:, s:, :] |= mask[:, :-s, :]
@@ -159,7 +159,11 @@ def mask_indices(
     mask: np.ndarray, capacity: int = None, bucket: int = 4096
 ) -> np.ndarray:
     """(b, h, w) bool → (b, K) int32 flat pixel indices (COO, padded
-    with index 0; rows beyond an externally-fixed capacity truncate)."""
+    with the sentinel -1 — NOT 0, which is a real pixel index; pad
+    slots must never alias flat pixel (0,0). Rows beyond an
+    externally-fixed capacity truncate). Consumers: the device gather
+    clamps sentinels to 0 (value discarded) and the host paste drops
+    slots < 0."""
     b = mask.shape[0]
     flat = mask.reshape(b, -1)
     rows, cols = np.nonzero(flat)
@@ -168,7 +172,7 @@ def mask_indices(
     starts = np.cumsum(counts) - counts
     slots = np.arange(len(rows)) - np.repeat(starts, counts)
     keep = slots < k
-    idx = np.zeros((b, k), np.int32)
+    idx = np.full((b, k), -1, np.int32)
     idx[rows[keep], slots[keep]] = cols[keep]
     return idx
 
@@ -192,7 +196,9 @@ def sparse_gather_forward_fn(model):
         probs = jnp.exp(model.apply(variables, x))
         b, h, w, c = probs.shape
         flatp = probs.reshape(b, h * w, c)
-        g = jax.vmap(lambda p, i: p[i])(flatp, out_idx)
+        # pad slots carry the sentinel -1 (mask_indices): clamp so the
+        # gather stays in-bounds; the host paste discards those slots
+        g = jax.vmap(lambda p, i: p[i])(flatp, jnp.maximum(out_idx, 0))
         return jnp.round(g[..., :-1] * 255.0).astype(jnp.uint8)
 
     return fwd
