@@ -50,6 +50,23 @@ def test_native_filler_batches(synth):
         loader.stop()
 
 
+def test_native_getbatch_honors_batch_size(synth):
+    # reference getbatch(bs) semantics (larcv1_interface.py:47-66)
+    loader = native.NativeBatchLoader(
+        synth, batch_size=3, plane=2, n_threads=1, seed=4
+    ).start()
+    try:
+        assert loader.getbatch()["image"].shape[0] == 3
+        assert loader.getbatch(2)["image"].shape == (2, 64, 96, 1)
+        b = loader.getbatch(5)
+        assert b["image"].shape == (5, 64, 96, 1)
+        assert b["label"].shape == (5, 64, 96)
+        with pytest.raises(ValueError):
+            loader.getbatch(-1)
+    finally:
+        loader.stop()
+
+
 def test_native_filler_threshold_and_remap(synth):
     loader = native.NativeBatchLoader(
         synth, batch_size=2, plane=2, adc_threshold=20.0,

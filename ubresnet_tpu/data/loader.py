@@ -243,7 +243,24 @@ class BatchLoader:
         return self._queue.get(timeout=60.0)
 
     def getbatch(self, batch_size: Optional[int] = None):
-        return self[0]
+        """Batch of exactly ``batch_size`` rows — the reference's
+        ``getbatch(bs)`` sizes every ``batch_process`` call
+        (training/larcv1_interface.py:47-66). ``None`` means the
+        configured size; smaller requests slice a queued batch,
+        larger ones concatenate several (each a full queue pull, so
+        mixing sizes costs throughput, not correctness)."""
+        if batch_size is None or batch_size == self.batch_size:
+            return self[0]
+        if batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {batch_size}")
+        parts, have = [], 0
+        while have < batch_size:
+            parts.append(self[0])
+            have += self.batch_size
+        return {
+            k: np.concatenate([p[k] for p in parts])[:batch_size]
+            for k in parts[0]
+        }
 
     def __iter__(self):
         while True:
