@@ -76,8 +76,40 @@ def section_timeout(seconds):
 
 # Per-section wall budget. Generous vs observed TPU timings (compile
 # ~40s + measure <30s per section) but small enough that all sections
-# plus probes fit a driver timeout with room to print.
+# plus probes fit a driver timeout with room to print. Judge-measured
+# round-4 context: the FIRST execution through the axon tunnel has
+# ~200-400s variance (identical headline program: 420s timeout at one
+# run, 245s completion 20 min later), so a single timeout is a coin
+# flip — sections retry once (run_section) and never erase each other.
 SECTION_TIMEOUT_S = _env_int("UBTPU_BENCH_SECTION_TIMEOUT", 420)
+SECTION_RETRIES = _env_int("UBTPU_BENCH_SECTION_RETRIES", 1)
+
+
+def run_section(name, fn, *args, **kwargs):
+    """Run one bench section under its own SIGALRM budget, with phase
+    stamps and one retry on timeout. Sections are independently
+    survivable — round 4 lost train/deploy/int8/wholeview to a single
+    headline TimeoutError (VERDICT r4 weak #2). Returns
+    ``(result, None)`` or ``(None, error_string)``."""
+    err = None
+    for attempt in range(1 + SECTION_RETRIES):
+        t0 = time.time()
+        log(f"[{name}] start (attempt {attempt + 1}/{1 + SECTION_RETRIES}, "
+            f"budget {SECTION_TIMEOUT_S}s)")
+        try:
+            with section_timeout(SECTION_TIMEOUT_S):
+                out = fn(*args, **kwargs)
+            log(f"[{name}] ok in {time.time() - t0:.1f}s")
+            return out, None
+        except TimeoutError as exc:
+            err = f"timeout: {exc}"
+            log(f"[{name}] TIMEOUT after {time.time() - t0:.1f}s — "
+                f"{'retrying with a fresh alarm' if attempt < SECTION_RETRIES else 'giving up'}")
+        except Exception as exc:  # non-timeout errors don't retry
+            err = f"{type(exc).__name__}: {exc}"
+            log(f"[{name}] ERROR after {time.time() - t0:.1f}s: {err}")
+            break
+    return None, err
 
 
 def make_batches(n=4):
@@ -124,6 +156,7 @@ def measure_tpu() -> dict:
     fwd_sp = sparse_forward_fn(model)
 
     dense, sparse = make_batches()
+    log("[infer] phase: data built")
 
     def run_window(n_iters):
         out = None
@@ -139,8 +172,15 @@ def measure_tpu() -> dict:
         _ = float(out[0, 0, 0, 0])  # D2H readback: drains the async queue
         return time.time() - t0
 
-    run_window(2)  # compile + warm
+    # per-phase stamps so a section timeout is attributable to
+    # compile vs first-execution vs steady-state (VERDICT r4 weak #3)
+    t0 = time.time()
+    run_window(1)  # compile + first readback
+    log(f"[infer] phase: compile+first-readback done ({time.time() - t0:.1f}s)")
+    run_window(1)  # warm
+    log("[infer] phase: warm done")
     dt = run_window(ITERS)
+    log(f"[infer] phase: window done ({dt:.1f}s)")
     crops_per_sec = ITERS * BATCH / dt
     log(f"tpu sparse h2d+fwd: {crops_per_sec:.1f} crops/s "
         f"({dt / ITERS * 1e3:.1f} ms/batch of {BATCH})")
@@ -230,10 +270,15 @@ def measure_tpu_train(fused: bool = False, batches=None,
         _ = float(metrics["loss"])  # D2H readback drains the queue
         return state, time.time() - t0
 
-    state, _ = run_window(state, 2)  # compile + warm
-    state, dt = run_window(state, TRAIN_ITERS)
-    rate = TRAIN_ITERS * batch / dt
     tag = ("fused" if fused else "xla-packed") + ("+remat" if remat else "")
+    t0 = time.time()
+    state, _ = run_window(state, 1)  # compile + first readback
+    log(f"[train {tag}] phase: compile+first-readback done "
+        f"({time.time() - t0:.1f}s)")
+    state, _ = run_window(state, 1)  # warm
+    state, dt = run_window(state, TRAIN_ITERS)
+    log(f"[train {tag}] phase: window done ({dt:.1f}s)")
+    rate = TRAIN_ITERS * batch / dt
     log(f"tpu sparse h2d+train-step [{tag}]: {rate:.1f} crops/s "
         f"({dt / TRAIN_ITERS * 1e3:.1f} ms/batch of {batch})")
     return {"crops_per_sec": rate, "ms_per_batch": dt / TRAIN_ITERS * 1e3}
@@ -304,7 +349,30 @@ def measure_deploy_cli() -> dict:
         sp_runner.run(inp, os.path.join(d, "warm_sp.uevt"), plane=2)
         timing_sp = sp_runner.run(inp, os.path.join(d, "out_sp.uevt"),
                                   plane=2)
-        sp_mb_per_crop = sp_runner._out_cap * 2 / 1e6
+        # Byte accounting from actual shapes/dtypes, both directions:
+        # D2H is the gathered u8 scores (out_cap x (c-1) x 1 byte);
+        # the sparse mode also UPLOADS out_idx (int32, 4 bytes/slot)
+        # every batch, which shares the link with D2H on this tunnel
+        # (ADVICE r4: counting D2H alone overstated the saving 3x).
+        n_score_ch = 2  # num_classes - 1; u8 itemsize 1
+        sp_mb_per_crop = sp_runner._out_cap * n_score_ch * 1 / 1e6
+        sp_idx_h2d_mb_per_crop = sp_runner._out_cap * 4 / 1e6
+        # Out-of-halo fill error (ADVICE r4 medium): the sparse mode
+        # reconstructs pixels outside the readback halo from the
+        # network's zero-input response field — an approximation whose
+        # error is unbounded in principle (U-Net receptive field spans
+        # the crop). Measure it against the u8 runner's full readback
+        # on these weights so the number ships with the speedup claim.
+        from ubresnet_tpu.data.rootio import open_event_file
+        ra = open_event_file(os.path.join(d, "out.uevt"))
+        rb = open_event_file(os.path.join(d, "out_sp.uevt"))
+        max_err = 0.0
+        for i in range(min(len(ra), BATCH)):  # one batch is plenty
+            ia = ra.read_entry(i)["uburn_plane2"]
+            ib = rb.read_entry(i)["uburn_plane2"]
+            for im_a, im_b in zip(ia, ib):
+                max_err = max(max_err, float(
+                    np.abs(im_a.pixels - im_b.pixels).max()))
     rate = n_events / timing["total"]
     rate_sp = n_events / timing_sp["total"]
     d2h_bound = d2h_mb_s / per_crop_mb
@@ -313,7 +381,9 @@ def measure_deploy_cli() -> dict:
         f"link {d2h_mb_s:.1f} MB/s d2h -> bound {d2h_bound:.1f} crops/s, "
         f"link_efficiency {rate / d2h_bound:.2f})")
     log(f"deploy sparse-readback: {rate_sp:.1f} crops/s "
-        f"({sp_mb_per_crop:.4f} MB/crop; timing "
+        f"({sp_mb_per_crop:.4f} MB/crop d2h + "
+        f"{sp_idx_h2d_mb_per_crop:.4f} MB/crop idx h2d; "
+        f"max |sparse - u8| = {max_err:.4f}; timing "
         f"{dict((k, round(v, 3)) for k, v in timing_sp.items())})")
     return {"crops_per_sec": rate,
             "timing": {k: round(v, 4) for k, v in timing.items()},
@@ -325,6 +395,8 @@ def measure_deploy_cli() -> dict:
                 "crops_per_sec": round(rate_sp, 2),
                 "timing": {k: round(v, 4) for k, v in timing_sp.items()},
                 "readback_mb_per_crop": round(sp_mb_per_crop, 4),
+                "idx_h2d_mb_per_crop": round(sp_idx_h2d_mb_per_crop, 4),
+                "max_abs_err_vs_u8": round(max_err, 5),
                 "speedup_vs_u8": round(rate_sp / max(rate, 1e-9), 3),
             }}
 
@@ -435,7 +507,8 @@ def measure_int8_infer(tpu: dict) -> dict:
     out = {
         "crops_per_sec": round(rate, 2),
         "ms_per_batch": round(dt / ITERS * 1e3, 2),
-        "speedup_vs_bf16": round(rate / tpu["crops_per_sec"], 3),
+        "speedup_vs_bf16": round(rate / tpu["crops_per_sec"], 3)
+        if tpu else None,
         "fused_kernels": bool(model.policy.fused_eval),
     }
     if model.policy.fused_eval:
@@ -462,6 +535,22 @@ def measure_int8_infer(tpu: dict) -> dict:
     out["prob_mae_vs_f32"] = round(
         float(jnp.mean(jnp.abs(probs_q - ref))), 5
     )
+    # Calibration-accuracy ladder (VERDICT r4 next #4): the decision
+    # rule (prob_mae <= 0.02, docs/roofline.md) failed at abs-max
+    # (0.081); measure the percentile rungs in the same program (qvars
+    # only change VALUES, not shapes — no recompile). The QAT rung
+    # needs a finetune and lives in tools/int8_ladder.py.
+    sp_last = sparse[(ITERS - 1) % len(sparse)]
+    ladder = {}
+    for tag, pct in (("p99.9", 99.9), ("p99.99", 99.99)):
+        pvars = calibrate(model, variables, [dense[0][..., None]],
+                          percentile=pct)
+        probs_p = fwd(pvars, jax.device_put(sp_last["indices"]),
+                      jax.device_put(sp_last["values"]), (HW, HW))
+        ladder[tag] = round(
+            float(jnp.mean(jnp.abs(probs_p - ref))), 5)
+    ladder["absmax"] = out["prob_mae_vs_f32"]
+    out["calib_ladder_prob_mae"] = ladder
     log(f"int8 infer: {out}")
     return out
 
@@ -619,86 +708,82 @@ def main():
             "detail": f"default backend is {probe['platform']!r}, not tpu",
         }))
         sys.exit(0)
-    try:
-        with section_timeout(SECTION_TIMEOUT_S):
-            tpu = measure_tpu()
-        train_batches = make_train_batches()
-        with section_timeout(SECTION_TIMEOUT_S):
-            train = measure_tpu_train(batches=train_batches)
-    except TimeoutError as exc:
-        # Tunnel died mid-bench: still print a structured line.
-        print(json.dumps({
-            "metric": "uresnet16_512x512_infer_crops_per_sec_per_chip",
-            "value": None,
-            "unit": "crops/s",
-            "vs_baseline": None,
-            "error": "bench_timeout",
-            "detail": str(exc),
-        }))
-        sys.exit(0)
+    # Every section is independently survivable (run_section: own
+    # SIGALRM budget + one retry on timeout) — round 4 lost ALL
+    # sections to one headline TimeoutError (VERDICT r4 weak #2).
+    tpu, err_infer = run_section("infer", measure_tpu)
+    train_batches = make_train_batches()
+    log("[train] phase: data built")
+    train, err_train = run_section(
+        "train", measure_tpu_train, batches=train_batches)
     baselines = get_baselines()
     result = {
         "metric": "uresnet16_512x512_infer_crops_per_sec_per_chip",
-        "value": round(tpu["crops_per_sec"], 2),
+        "value": round(tpu["crops_per_sec"], 2) if tpu else None,
         "unit": "crops/s",
         "vs_baseline": round(
             tpu["crops_per_sec"] / baselines["torch_cpu_crops_per_sec"], 2
-        ),
+        ) if tpu else None,
         "train": {
             "metric": "uresnet16_512x512_train_crops_per_sec_per_chip",
-            "value": round(train["crops_per_sec"], 2),
+            "value": round(train["crops_per_sec"], 2) if train else None,
             "unit": "crops/s",
             "vs_baseline": round(
                 train["crops_per_sec"]
                 / baselines["torch_cpu_train_crops_per_sec"],
                 2,
-            ),
+            ) if train else None,
         },
     }
+    if err_infer:
+        result["error"] = "bench_timeout" if "timeout" in err_infer else "bench_error"
+        result["detail"] = f"infer: {err_infer}"
+    if err_train:
+        result["train"]["error"] = err_train
     # Extra measurements queued for the chip (NOTES.md): the
     # fused_train A/B and the deploy-runner overlap ratio. Recorded in
     # the same JSON line so the driver's end-of-round bench captures
     # them even when the tunnel was down for the whole build session.
     # UBTPU_BENCH_FAST=1 skips them (headline metrics only).
     if os.environ.get("UBTPU_BENCH_FAST") != "1":
-        try:
-            with section_timeout(SECTION_TIMEOUT_S):
-                fused = measure_tpu_train(fused=True, batches=train_batches)
+        fused, err = run_section(
+            "train_fused", measure_tpu_train, fused=True,
+            batches=train_batches)
+        if fused:
             result["train_fused"] = {
                 "value": round(fused["crops_per_sec"], 2),
                 "unit": "crops/s",
                 "speedup_vs_default_train": round(
                     fused["crops_per_sec"] / train["crops_per_sec"], 3
-                ),
+                ) if train else None,
             }
-        except Exception as exc:  # record, don't erase the headline
-            result["train_fused"] = {"error": f"{type(exc).__name__}: {exc}"}
-        try:
-            # remat at 2x batch: does trading one extra stage-forward
-            # for activation HBM buy net throughput? (Policy.remat,
-            # docs/roofline.md round-4 levers)
-            with section_timeout(SECTION_TIMEOUT_S):
-                remat = measure_tpu_train(remat=True,
-                                          batch=2 * TRAIN_BATCH)
+        else:
+            result["train_fused"] = {"error": err}
+        # remat at 2x batch: does trading one extra stage-forward
+        # for activation HBM buy net throughput? (Policy.remat,
+        # docs/roofline.md round-4 levers)
+        remat, err = run_section(
+            "train_remat_2x", measure_tpu_train, remat=True,
+            batch=2 * TRAIN_BATCH)
+        if remat:
             result["train_remat_2x"] = {
                 "value": round(remat["crops_per_sec"], 2),
                 "unit": "crops/s",
                 "batch": 2 * TRAIN_BATCH,
                 "speedup_vs_default_train": round(
                     remat["crops_per_sec"] / train["crops_per_sec"], 3
-                ),
+                ) if train else None,
             }
-        except Exception as exc:
-            result["train_remat_2x"] = {"error": f"{type(exc).__name__}: {exc}"}
-        try:
-            with section_timeout(SECTION_TIMEOUT_S):
-                deploy = measure_deploy_cli()
+        else:
+            result["train_remat_2x"] = {"error": err}
+        deploy, err = run_section("deploy", measure_deploy_cli)
+        if deploy:
             result["deploy"] = {
                 "value": round(deploy["crops_per_sec"], 2),
                 "unit": "crops/s",
                 "vs_raw_infer": round(
                     deploy["crops_per_sec"] / tpu["crops_per_sec"], 3
-                ),
+                ) if tpu else None,
                 "timing": deploy["timing"],
                 "d2h_mb_s": deploy["d2h_mb_s"],
                 "readback_mb_per_crop": deploy["readback_mb_per_crop"],
@@ -706,18 +791,12 @@ def main():
                 "link_efficiency": deploy["link_efficiency"],
                 "sparse_readback": deploy["sparse_readback"],
             }
-        except Exception as exc:
-            result["deploy"] = {"error": f"{type(exc).__name__}: {exc}"}
-        try:
-            with section_timeout(SECTION_TIMEOUT_S):
-                result["wholeview"] = measure_wholeview()
-        except Exception as exc:
-            result["wholeview"] = {"error": f"{type(exc).__name__}: {exc}"}
-        try:
-            with section_timeout(SECTION_TIMEOUT_S):
-                result["int8"] = measure_int8_infer(tpu)
-        except Exception as exc:
-            result["int8"] = {"error": f"{type(exc).__name__}: {exc}"}
+        else:
+            result["deploy"] = {"error": err}
+        wholeview, err = run_section("wholeview", measure_wholeview)
+        result["wholeview"] = wholeview if wholeview else {"error": err}
+        int8, err = run_section("int8", measure_int8_infer, tpu)
+        result["int8"] = int8 if int8 else {"error": err}
     print(json.dumps(result))
 
 
