@@ -543,7 +543,10 @@ def measure_int8_infer(tpu: dict) -> dict:
     sp_last = sparse[(ITERS - 1) % len(sparse)]
     ladder = {}
     for tag, pct in (("p99.9", 99.9), ("p99.99", 99.99)):
-        pvars = calibrate(model, variables, [dense[0][..., None]],
+        # 16 crops: a standard-size calibration set; the percentile
+        # calibration forward runs the model in f32 (quant_calib), so
+        # the full b128 batch is pointless HBM pressure here
+        pvars = calibrate(model, variables, [dense[0][:16, ..., None]],
                           percentile=pct)
         probs_p = fwd(pvars, jax.device_put(sp_last["indices"]),
                       jax.device_put(sp_last["values"]), (HW, HW))

@@ -449,3 +449,33 @@ def test_qat_model_trains_and_matches_ptq():
     assert np.abs(qat_eval - ptq).mean() < 0.02
     agree = (qat_eval.argmax(-1) == ptq.argmax(-1)).mean()
     assert agree > 0.95, f"argmax agreement {agree}"
+
+
+def test_calib_batch_range_large_tensor_subsamples():
+    """Percentile calibration on big tensors runs on a ~1M-element
+    strided-grid subsample (the full-tensor sort + f32 |x| temp OOMed
+    HBM at the bench shape); the estimate must sit within a tight
+    tolerance of the exact percentile, stay deterministic, and keep
+    the channel axis complete."""
+    import numpy as np
+
+    from ubresnet_tpu.ops.quant import calib_batch_range
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.exponential(1.0, size=(2 << 20,)).astype(np.float32))
+    exact = float(np.percentile(np.asarray(x), 99.9))
+    est = float(calib_batch_range(x, 99.9))
+    est2 = float(calib_batch_range(x, 99.9))
+    assert est == est2  # pure function of the shape: deterministic
+    # ~1M iid samples: p99.9 estimate within a few percent of exact
+    # for an exponential tail
+    assert abs(est - exact) / exact < 0.05
+
+    # 4-D conv-activation shape: grid strides hit batch/spatial axes
+    # only; per-channel magnitude structure must survive the sample
+    x4 = jnp.asarray(
+        rng.exponential(1.0, size=(4, 128, 128, 32)).astype(np.float32)
+    ) * jnp.arange(1, 33)  # channel ramp
+    exact4 = float(np.percentile(np.asarray(x4), 99.0))
+    est4 = float(calib_batch_range(x4, 99.0))
+    assert abs(est4 - exact4) / exact4 < 0.05
