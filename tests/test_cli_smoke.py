@@ -91,3 +91,20 @@ def test_compare_and_evaluate_cli(fixtures):
     m = json.loads(stdout[stdout.index("{"):])
     assert 0.0 <= m["acc_total"] <= 1.0
     assert m["n_entries"] == 4
+
+
+def test_wholeview_spatial_default_resolution():
+    """Spatial is the wholeview default since the round-5 chip A/B
+    (spatial_speedup 1.023, docs/roofline.md); --stitched opts out and
+    --detsplit implies crop geometry."""
+    import pytest
+
+    from ubresnet_tpu.cli.infer_wholeview import resolve_spatial
+
+    assert resolve_spatial(None, False, False) is True   # default
+    assert resolve_spatial(None, True, False) is False   # --stitched
+    assert resolve_spatial(None, False, True) is False   # --detsplit
+    assert resolve_spatial(True, False, False) is True   # explicit
+    assert resolve_spatial(False, False, False) is False
+    with pytest.raises(SystemExit):
+        resolve_spatial(True, False, True)  # contradiction

@@ -8,6 +8,22 @@ import json
 from ubresnet_tpu.cli.infer_precropped import load_model_and_variables
 
 
+def resolve_spatial(spatial, stitched, detsplit) -> bool:
+    """Whether to score whole planes in one row-sharded forward.
+
+    Spatial is the measured default (round-5 chip A/B: 13.28 vs 12.98
+    planes/s stitched, docs/roofline.md); ``--stitched`` opts out,
+    ``--detsplit`` implies crops (UBSplitDetector triplet geometry
+    only exists in crop space), and an explicit ``--spatial`` with
+    ``--detsplit`` is a contradiction."""
+    if spatial and detsplit:
+        raise SystemExit("--spatial and --detsplit are mutually "
+                         "exclusive (detsplit defines crop triplets)")
+    if spatial is None:
+        return not stitched and not detsplit
+    return spatial and not stitched
+
+
 def main(argv=None):
     from ubresnet_tpu.utils.platform import apply_platform_env
 
@@ -36,10 +52,16 @@ def main(argv=None):
     ap.add_argument("--passthrough", action="store_true",
                     help="copy input event content to the output file "
                          "(IOManager kBOTH mode)")
-    ap.add_argument("--spatial", action="store_true",
+    ap.add_argument("--spatial", action="store_true", default=None,
                     help="score each whole plane in ONE row-sharded "
                          "forward over all devices (GSPMD halo "
-                         "exchange) instead of crop-and-stitch")
+                         "exchange) instead of crop-and-stitch. The "
+                         "DEFAULT since the round-5 chip A/B (13.28 "
+                         "vs 12.98 planes/s stitched, BENCH_r05); "
+                         "implied off by --detsplit (crop semantics)")
+    ap.add_argument("--stitched", action="store_true",
+                    help="force crop-and-stitch scoring (the "
+                         "pre-round-5 default)")
     ap.add_argument("--int8", action="store_true",
                     help="int8 PTQ inference (ops/quant.py): calibrate "
                          "activation scales on occupied tiles of the "
@@ -59,8 +81,10 @@ def main(argv=None):
     from ubresnet_tpu.deploy import WholeViewRunner
 
     model, variables = load_model_and_variables(args)
+    use_spatial = resolve_spatial(args.spatial, args.stitched,
+                                  args.detsplit)
     spatial_mesh = None
-    if args.spatial:
+    if use_spatial:
         import jax
         from jax.sharding import Mesh
         import numpy as np
