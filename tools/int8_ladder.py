@@ -138,6 +138,8 @@ def main():
     qref = eval_probs(f32_pol, qtrained, qbstats)
     results["qat_absmax"] = ptq_rung(qtrained, qbstats, None, qref)
     log(f"qat absmax: {results['qat_absmax']}")
+    results["qat_p99.9"] = ptq_rung(qtrained, qbstats, 99.9, qref)
+    log(f"qat p99.9: {results['qat_p99.9']}")
     # does QAT keep the f32 task behavior? argmax vs pre-QAT f32 ref
     results["qat_f32_argmax_vs_pre_qat"] = round(
         float((qref.argmax(-1) == ref.argmax(-1)).mean()), 5)

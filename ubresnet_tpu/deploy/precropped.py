@@ -59,6 +59,23 @@ class PrecroppedRunner:
             compact_readback = "f16"
         if compact_readback == "sparse" and not sparse:
             raise ValueError("compact_readback='sparse' requires sparse=True")
+        if compact_readback == "sparse":
+            import warnings
+
+            # The out-of-halo fill is only valid for TRAINED networks
+            # whose scores decay to the zero-input response away from
+            # charge — measured 0.667 max deviation on random-init
+            # weights (bench deploy section reports the number per
+            # run, docs/roofline.md round 5).
+            warnings.warn(
+                "compact_readback='sparse' reconstructs pixels outside "
+                f"the r={readback_dilate} readback halo from the "
+                "network's zero-input response; valid only when the "
+                "trained network's scores decay within that halo. The "
+                "bench deploy section measures max |sparse - u8| for "
+                "your weights.",
+                stacklevel=2,
+            )
         self.compact = compact_readback
         self.readback_dilate = readback_dilate
         self._out_cap = 0
